@@ -1,0 +1,224 @@
+package graft.sig
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.model.DedupConfig
+
+/** Signature kernels: normalization, shingling, MinHash, SimHash.
+  *
+  * Replaces the reference's sorted-neighborhood blocking keys
+  * (bakdata/dedupe `common/.../OnlineSortedNeighborhoodMethod.java:64-189`,
+  * `examples/.../PersonCandidateSelection.java:38-64`) with LSH-style
+  * signatures that block at 10^12 scale (SURVEY.md §2.2).
+  *
+  * Every kernel exists in two exactly-equivalent forms:
+  *  - a Catalyst `Column` expression (codegen'd, used by the pipeline), and
+  *  - a pure-Scala function (used by unit tests and the in-memory oracle).
+  *
+  * The base hash is **hash60**: the first 15 hex chars of md5(utf8(s)) read
+  * as an unsigned integer (60 bits, always non-negative in a Long). It is
+  * chosen because the identical value is computable in ANSI-ish SQL
+  * (`('0x'||substr(md5(x),1,15))::BIGINT` in DuckDB), which lets the driver's
+  * oracle mirror MinHash/SimHash byte-for-byte with pure integer math.
+  * MinHash permutations are affine maps `(a_i*h + b_i) mod P`, P = 2^31-1,
+  * with h pre-reduced mod P so every product fits in a signed 64-bit integer
+  * in any SQL engine.
+  */
+object Signatures {
+
+  /** Mersenne prime 2^31-1: modulus of the MinHash permutation family. */
+  val P: Long = 2147483647L
+
+  // ---------------------------------------------------------------- hash60
+
+  def hash60(s: String): Long = {
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  def hash60Col(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** SQL fragment computing hash60 in DuckDB (for oracle generation). */
+  def hash60Sql(expr: String): String =
+    s"(('0x' || substr(md5($expr), 1, 15))::BIGINT)"
+
+  // ----------------------------------------------------- permutation seeds
+
+  /** Deterministic affine-permutation coefficients: a_i in [1, P-1],
+    * b_i in [0, P-1], derived from hash60 so the oracle can embed the same
+    * literal constants.
+    */
+  def seedsA(n: Int, seed: Long): Array[Long] =
+    Array.tabulate(n)(i => (hash60(s"a:$seed:$i") % (P - 1)) + 1)
+
+  def seedsB(n: Int, seed: Long): Array[Long] =
+    Array.tabulate(n)(i => hash60(s"b:$seed:$i") % P)
+
+  // ---------------------------------------------------------- normalization
+
+  /** Caption normalization, generalizing the reference's person-name
+    * normalizer (`PersonCandidateSelection.java:53-64`: lowercase, strip
+    * non-alphanumerics, collapse whitespace).
+    */
+  def normalize(s: String): String =
+    s.toLowerCase.replaceAll("[^a-z0-9 ]", "").replaceAll("\\s+", " ").trim
+
+  def normalizeCol(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), "\\s+", " "))
+
+  /** Identical normalization in DuckDB SQL (needs explicit 'g' flag). */
+  def normalizeSql(expr: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($expr), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))"
+
+  // --------------------------------------------------------------- shingles
+
+  /** Distinct char k-shingles of the normalized string; a string shorter
+    * than k yields the single shingle [s] so no record is unblockable.
+    * Ref analog: `CommonTransformations.ngram`, :85-89.
+    */
+  def shingles(s: String, k: Int): Seq[String] =
+    if (s.length >= k) (0 to s.length - k).map(i => s.substring(i, i + k)).distinct
+    else Seq(s)
+
+  def shinglesCol(c: Column, k: Int): Column =
+    when(length(c) >= k,
+      array_distinct(transform(
+        sequence(lit(1), length(c) - (k - 1)),
+        i => substring(c, i, lit(k)))))
+      .otherwise(array(c))
+
+  /** Word tokens of the normalized string (ref `CommonTransformations.words`,
+    * :147-149). Empty string yields an empty array.
+    */
+  def words(s: String): Seq[String] =
+    if (s.isEmpty) Seq.empty else s.split(" ").toSeq
+
+  def wordsCol(c: Column): Column =
+    when(length(c) === 0, array().cast("array<string>")).otherwise(split(c, " "))
+
+  /** Distinct word n-grams joined by a single space. */
+  def wordNgrams(s: String, n: Int): Seq[String] = {
+    val ws = words(s)
+    if (ws.length >= n) ws.sliding(n).map(_.mkString(" ")).toSeq.distinct
+    else if (ws.isEmpty) Seq.empty
+    else Seq(ws.mkString(" "))
+  }
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** MinHash signature of a shingle set: for each i, min over shingles of
+    * (a_i * (hash60(sh) mod P) + b_i) mod P. Pure-Scala form.
+    */
+  def minHash(shs: Seq[String], a: Array[Long], b: Array[Long]): Array[Long] = {
+    val n = a.length
+    val sig = Array.fill(n)(Long.MaxValue)
+    val it = shs.iterator
+    while (it.hasNext) {
+      val h = hash60(it.next()) % P
+      var i = 0
+      while (i < n) {
+        val v = (a(i) * h + b(i)) % P
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    if (shs.isEmpty) Array.fill(n)(0L) else sig
+  }
+
+  /** LSH band keys: one string key per band, `band:v1,v2,...,vr` — plain
+    * decimal renderings so a SQL oracle can reproduce them with string
+    * concatenation of the same integers.
+    */
+  def bandKeys(sig: Array[Long], bands: Int): Seq[String] = {
+    val r = sig.length / bands
+    (0 until bands).map { bIdx =>
+      val sb = new StringBuilder
+      sb.append(bIdx).append(':')
+      var j = 0
+      while (j < r) {
+        if (j > 0) sb.append(',')
+        sb.append(sig(bIdx * r + j))
+        j += 1
+      }
+      sb.toString
+    }
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** SimHash over word tokens (with multiplicity): bit b of the result is 1
+    * iff sum over tokens of (2*bit_b(hash60(tok)) - 1) > 0. Width `bits`
+    * <= 60 so the shared hash covers it. Ref analog: the image/caption-side
+    * near-dup signature required by BASELINE.json north_star.
+    */
+  def simHash(tokens: Seq[String], bits: Int): Long = {
+    val acc = new Array[Int](bits)
+    tokens.foreach { t =>
+      val h = hash60(t)
+      var b = 0
+      while (b < bits) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  def hamming(x: Long, y: Long): Int = java.lang.Long.bitCount(x ^ y)
+
+  def hammingCol(x: Column, y: Column): Column = bit_count(x.bitwiseXOR(y))
+
+  // -------------------------------------------------- bit-block band keys
+
+  /** Pigeonhole band keys for Hamming-distance blocking over a 64-bit hash:
+    * split into `blocks` contiguous blocks; two hashes within Hamming
+    * distance (blocks-1) share at least one identical block. Key string is
+    * `blockIdx:blockValue`.
+    */
+  def bitBlockKeys(h: Long, blocks: Int, totalBits: Int): Seq[String] = {
+    val per = totalBits / blocks
+    (0 until blocks).map { i =>
+      val v = (h >>> (i * per)) & ((1L << per) - 1)
+      s"$i:$v"
+    }
+  }
+
+  // ----------------------------------------------------- Column-form UDFs
+
+  /** MinHash signature as a Column (UDF over the shingle array).
+    * Registered per-config; the coefficients are closed over, so the UDF is
+    * deterministic and serializable.
+    */
+  def minHashCol(shinglesCol: Column, cfg: DedupConfig): Column = {
+    val a = seedsA(cfg.numHashes, cfg.seed)
+    val b = seedsB(cfg.numHashes, cfg.seed)
+    val f = udf((shs: Seq[String]) => if (shs == null) null else minHash(shs, a, b))
+    f(shinglesCol)
+  }
+
+  def bandKeysCol(sigCol: Column, bands: Int): Column = {
+    val f = udf((sig: Seq[Long]) => if (sig == null) null else bandKeys(sig.toArray, bands))
+    f(sigCol)
+  }
+
+  def simHashCol(tokensCol: Column, bits: Int): Column = {
+    val f = udf((toks: Seq[String]) => if (toks == null) null else simHash(toks, bits))
+    f(tokensCol)
+  }
+
+  def bitBlockKeysCol(hCol: Column, blocks: Int, totalBits: Int): Column = {
+    val f = udf((h: Long) => bitBlockKeys(h, blocks, totalBits))
+    f(hCol)
+  }
+}

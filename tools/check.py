@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run after graft.Verify has
+written outDir/<name>.parquet + oracle_sql.json; compares each result against
+DuckDB running the oracle SQL over the same sf tables.
+
+Usage: python3 tools/check.py <sfDir> <outDir>
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+
+con = duckdb.connect()
+for p in glob.glob(os.path.join(sfdir, "*.parquet")):
+    name = os.path.basename(p)[:-len(".parquet")]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+with open(os.path.join(outdir, "oracle_sql.json")) as f:
+    oracles = json.load(f)
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    # normalize types: floats rounded repr, ints as int64 where possible
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object:
+            out[c] = s.astype(str)
+        elif str(s.dtype).startswith("float"):
+            out[c] = s.astype("float64").map(lambda v: repr(v))
+        else:
+            try:
+                out[c] = s.astype("int64")
+            except Exception:
+                out[c] = s.astype(str)
+    df = pd.DataFrame(out)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+fails = 0
+for name in sorted(os.listdir(outdir)):
+    d = os.path.join(outdir, name)
+    if not os.path.isdir(d):
+        continue
+    got = canon(con.sql(f"SELECT * FROM '{d}/*.parquet'").df())
+    if name not in oracles:
+        print(f"{name:28s} rows={len(got)} (no oracle; rows-only)")
+        continue
+    try:
+        exp = canon(con.sql(oracles[name]).df())
+    except Exception as e:
+        print(f"{name:28s} ORACLE SQL ERROR: {str(e)[:200]}")
+        fails += 1
+        continue
+    schema_ok = list(got.columns) == list(exp.columns)
+    rows_ok = len(got) == len(exp)
+    hash_ok = schema_ok and rows_ok and got.equals(exp)
+    status = "OK" if hash_ok else "MISMATCH"
+    print(f"{name:28s} rows={len(got)}/{len(exp)} schema={schema_ok} hash={hash_ok} {status}")
+    if not hash_ok:
+        fails += 1
+        if schema_ok and rows_ok:
+            neq = (got != exp).any(axis=1)
+            print("  first diffs (got | exp):")
+            print(pd.concat([got[neq].head(3), exp[neq].head(3)], axis=1).to_string()[:2000])
+        else:
+            print("  got cols:", list(got.columns), "exp cols:", list(exp.columns))
+            print("  got head:", got.head(3).to_string()[:600])
+            print("  exp head:", exp.head(3).to_string()[:600])
+sys.exit(1 if fails else 0)
