@@ -3,34 +3,68 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.block.Blocking
+import graft.cluster.ConnectedComponents
+import graft.model.DedupConfig
 import graft.sig.Signatures
 
 /** The operator catalog: every SURVEY.md §2 operator (and the training-data
   * extensions) exposed as a named query over the driver's parquet tables,
-  * plus its exactly-equivalent DuckDB oracle SQL.
+  * plus its exactly-equivalent DuckDB oracle SQL (built by [[OracleGen]] —
+  * the LSH/MinHash/SimHash stages are mirrored in the oracle with identical
+  * integer arithmetic, not just the final thresholds).
   */
 object Queries {
 
   import SparkEntry.table
 
+  /** Config of the oracled MinHash/LSH query (kept modest so the SQL mirror
+    * stays cheap; the flagship pipeline uses the full DedupConfig()).
+    */
+  val lshCfg: DedupConfig = DedupConfig(shingleK = 5, numHashes = 64, bands = 16)
+
+  val ngramN = 3
+  val ngramJaccardT = 0.6
+  val minhashJaccardT = 0.8
+  val simhashBlocks = 4
+  val simhashMaxHamming = 8
+  val substringK = 8
+  val snmWindow = 3
+
   // ------------------------------------------------------------ helpers
 
-  /** Normalized text + distinct word-3-gram shingles of documents.text —
-    * the blocking/verify unit shared by several queries.
-    */
   private def docNorm(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
       .select(col("doc_id"), Signatures.normalizeCol(col("text")).as("norm"))
 
-  /** DuckDB CTE producing the same (doc_id, norm). */
-  private val docNormSql: String =
-    s"SELECT doc_id, ${Signatures.normalizeSql("text")} AS norm FROM documents"
+  /** (id, shs) with distinct word-ngram shingle arrays. */
+  private def docWordShingles(spark: SparkSession, dir: String): DataFrame =
+    docNorm(spark, dir)
+      .select(col("doc_id").as("id"), Signatures.wordNgramsCol(col("norm"), ngramN).as("shs"))
+
+  private def docCharShingles(spark: SparkSession, dir: String): DataFrame =
+    docNorm(spark, dir)
+      .select(col("doc_id").as("id"), Signatures.shinglesCol(col("norm"), lshCfg.shingleK).as("shs"))
+
+  /** Exact Jaccard verification of candidate pairs against per-id distinct
+    * shingle arrays — the pairwise classification stage
+    * (ref `CommonSimilarityMeasures.jaccard`, :88-93; SURVEY.md §2.4).
+    */
+  def jaccardVerify(cands: DataFrame, shingleArrays: DataFrame, t: Double): DataFrame = {
+    val s1 = shingleArrays.select(col("id").as("id1"), col("shs").as("sh1"))
+    val s2 = shingleArrays.select(col("id").as("id2"), col("shs").as("sh2"))
+    cands.join(s1, Seq("id1")).join(s2, Seq("id2"))
+      .withColumn("c", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard",
+        col("c").cast("double") / (size(col("sh1")) + size(col("sh2")) - col("c")))
+      .where(col("jaccard") >= t)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
 
   // ------------------------------------------------------------ queries
 
-  /** Exact deduplication by full-content hash (hash-groupBy; SURVEY.md
-    * training-data extension "exact dedup"). Scales: one shuffle on a
-    * 128-bit key, no payload movement.
+  /** Exact deduplication by full-content hash (hash-groupBy; one shuffle on
+    * a 128-bit key, no payload movement).
     */
   def ddExact(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
@@ -41,9 +75,117 @@ object Queries {
     """SELECT md5(text) AS content_hash, count(*) AS n_copies,
        min(doc_id) AS rep_id FROM documents GROUP BY 1"""
 
-  /** Token counting + basic quality stats (training-data extension).
-    * Whitespace tokens over raw text; normalized char count.
+  /** N-gram Jaccard near-dup pairs via inverted-index blocking (exact, not
+    * approximate: every sharing pair is a candidate). The distributed form
+    * of the reference's pairwise jaccard measure applied at corpus scale.
     */
+  def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val shs = docWordShingles(spark, dir)
+    val keyed = shs.select(col("id"), explode(col("shs")).as("key"))
+    jaccardVerify(Blocking.pairsFromKeys(keyed), shs, ngramJaccardT)
+  }
+
+  private val ddNgramJaccardSql =
+    s"""WITH ${OracleGen.nrmCte},
+${OracleGen.wordNgramCtes(ngramN)},
+${OracleGen.invertedIndexCandsCte},
+${OracleGen.jaccardVerifySql(ngramJaccardT)}"""
+
+  /** MinHash + LSH banding near-dup pairs — the scale path replacing
+    * sorted-neighborhood blocking (SURVEY.md §2.2): char-5 shingles ->
+    * 64-perm MinHash -> 16 bands -> band-equality join -> exact Jaccard
+    * verify at 0.8. The oracle mirrors every stage with identical integer
+    * arithmetic, including banding.
+    */
+  def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val shs = docCharShingles(spark, dir)
+    val sig = Signatures.minHashCol(col("shs"), lshCfg)
+    val keyed = shs.select(col("id"), explode(Signatures.bandKeysCol(sig, lshCfg.bands)).as("key"))
+    jaccardVerify(Blocking.pairsFromKeys(keyed), shs, minhashJaccardT)
+  }
+
+  private val ddMinhashLshSql =
+    s"""WITH ${OracleGen.nrmCte},
+${OracleGen.charShingleCtes(lshCfg.shingleK)},
+${OracleGen.minHashCandsCtes(lshCfg)},
+${OracleGen.jaccardVerifySql(minhashJaccardT)}"""
+
+  /** SimHash near-dup pairs: 60-bit SimHash over word tokens, pigeonhole
+    * bit-block blocking (4 x 15-bit blocks), Hamming verify.
+    */
+  def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docNorm(spark, dir)
+    val sims = docs.select(col("doc_id").as("id"),
+      Signatures.simHashCol(Signatures.wordsCol(col("norm")), 60).as("sh"))
+    val cands = Blocking.bitBlockPairs(sims, "id", "sh", simhashBlocks, 60)
+    val s1 = sims.select(col("id").as("id1"), col("sh").as("h1"))
+    val s2 = sims.select(col("id").as("id2"), col("sh").as("h2"))
+    cands.join(s1, Seq("id1")).join(s2, Seq("id2"))
+      .withColumn("hamming", Signatures.hammingCol(col("h1"), col("h2")).cast("int"))
+      .where(col("hamming") <= simhashMaxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+
+  private val ddSimhashSql =
+    s"""WITH ${OracleGen.nrmCte},
+${OracleGen.simHashCtes(60)},
+${OracleGen.bitBlockCandsCte(simhashBlocks, 60)}
+SELECT c.id1, c.id2, CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+FROM cands c JOIN sim a ON a.doc_id = c.id1 JOIN sim b ON b.doc_id = c.id2
+WHERE bit_count(xor(a.sh, b.sh)) <= $simhashMaxHamming"""
+
+  /** Substring-containment duplicates (the suffix/substring pass of the
+    * north_star): A's normalized text contained verbatim in B's.
+    */
+  def ddSubstring(spark: SparkSession, dir: String): DataFrame =
+    Blocking.substringPairs(docNorm(spark, dir), "doc_id", "norm", substringK)
+
+  private val ddSubstringSql =
+    s"""WITH ${OracleGen.nrmCte}
+SELECT DISTINCT least(a.doc_id, b.doc_id) AS id1, greatest(a.doc_id, b.doc_id) AS id2
+FROM nrm a JOIN nrm b
+  ON a.doc_id <> b.doc_id
+ AND length(a.norm) >= $substringK
+ AND length(a.norm) <= length(b.norm)
+ AND strpos(b.norm, a.norm) > 0"""
+
+  /** Sorted-neighborhood blocking (the reference's candidate selection,
+    * `OnlineSortedNeighborhoodMethod.java:64-189`) in offline form: order by
+    * (key, id), pair each record with its w-1 predecessors.
+    */
+  def snmBlocking(spark: SparkSession, dir: String): DataFrame =
+    Blocking.snmPairs(table(spark, dir, "customer"), "c_custkey", col("c_name"), snmWindow)
+
+  private val snmBlockingSql =
+    s"""WITH b AS (
+  SELECT c_custkey AS id, c_name AS key FROM customer WHERE c_name IS NOT NULL),
+l AS (
+  SELECT id,
+    lag(id, 1) OVER (ORDER BY key, id) AS p1,
+    lag(id, 2) OVER (ORDER BY key, id) AS p2
+  FROM b)
+SELECT DISTINCT least(id, p) AS id1, greatest(id, p) AS id2
+FROM (SELECT id, p1 AS p FROM l UNION ALL SELECT id, p2 FROM l)
+WHERE p IS NOT NULL"""
+
+  /** Transitive clustering: connected components (large-star/small-star)
+    * over ngram-Jaccard DUPLICATE edges; cluster id = min member id;
+    * singletons map to themselves (ref `TransitiveClosure.java:52-140`).
+    */
+  def ccClusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = ddNgramJaccard(spark, dir).select(col("id1"), col("id2"))
+    ConnectedComponents.assignAll(table(spark, dir, "documents"), "doc_id", edges)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+  }
+
+  private val ccClustersSql =
+    s"""WITH RECURSIVE ${OracleGen.nrmCte},
+${OracleGen.wordNgramCtes(ngramN)},
+${OracleGen.invertedIndexCandsCte},
+${OracleGen.jaccardPairsCte(ngramJaccardT)},
+${OracleGen.ccSql}"""
+
+  /** Token counting + basic quality stats (training-data extension). */
   def taTokens(spark: SparkSession, dir: String): DataFrame = {
     val norm = Signatures.normalizeCol(col("text"))
     table(spark, dir, "documents").select(
@@ -61,8 +203,7 @@ object Queries {
         FROM documents"""
 
   /** TPC-H-style pricing-summary aggregation (generic agg/groupBy surface;
-    * bench headline). Integer-exact outputs only, to keep the hash compare
-    * stable: quantities are integral doubles.
+    * bench headline). Integer-exact outputs only.
     */
   def q1Agg(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem")
@@ -79,19 +220,33 @@ object Queries {
        count(DISTINCT l_orderkey) AS n_orders
        FROM lineitem GROUP BY 1, 2"""
 
-  /** Placeholder flagship: replaced by the full pipeline as stages land. */
+  /** Flagship: full near-dup clustering over documents (placeholder until
+    * the multi-pass pipeline lands; currently CC over ngram edges).
+    */
   def pipelineClusters(spark: SparkSession, dir: String): DataFrame =
-    ddExact(spark, dir).select(col("rep_id").as("cluster_id"), col("n_copies"))
+    ccClusters(spark, dir)
 
   // ------------------------------------------------------------ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> (ddExact _),
+    "dd_ngram_jaccard" -> (ddNgramJaccard _),
+    "dd_minhash_lsh" -> (ddMinhashLsh _),
+    "dd_simhash" -> (ddSimhash _),
+    "dd_substring" -> (ddSubstring _),
+    "snm_blocking" -> (snmBlocking _),
+    "cc_clusters" -> (ccClusters _),
     "ta_tokens" -> (taTokens _),
     "q1_agg" -> (q1Agg _))
 
   val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
+    "dd_ngram_jaccard" -> ddNgramJaccardSql,
+    "dd_minhash_lsh" -> ddMinhashLshSql,
+    "dd_simhash" -> ddSimhashSql,
+    "dd_substring" -> ddSubstringSql,
+    "snm_blocking" -> snmBlockingSql,
+    "cc_clusters" -> ccClustersSql,
     "ta_tokens" -> taTokensSql,
     "q1_agg" -> q1AggSql)
 }

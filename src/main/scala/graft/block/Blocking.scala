@@ -1,0 +1,165 @@
+package graft.block
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.DedupConfig
+import graft.sig.Signatures
+
+/** Candidate selection (blocking) — replaces the reference's only join
+  * strategy, the in-memory multi-pass sorted-neighborhood index
+  * (bakdata/dedupe `common/.../OnlineSortedNeighborhoodMethod.java:64-189`),
+  * with shuffle-friendly key-equality blocking passes.
+  *
+  * Each pass produces canonical candidate pairs (id1 < id2); the union of
+  * passes is deduplicated BEFORE expensive verification — same placement as
+  * the reference's cross-pass `.distinct()`
+  * (`OnlineSortedNeighborhoodMethod.java:81`, SURVEY.md §4).
+  *
+  * Scale notes (100 TB): every pass is `explode -> shuffle on key ->
+  * within-bucket pairing`; the quadratic within-bucket cost is bounded by
+  * `maxBucketSize` (pathological keys are dropped and counted — salting
+  * cannot help a key whose *pairing* is quadratic; AQE handles residual
+  * shuffle skew). Only ids and small keys shuffle — never payloads.
+  */
+object Blocking {
+
+  /** Canonical pairing from an (id, key) inverted index: self-join on key,
+    * id1 < id2, de-duplicated across keys/passes.
+    *
+    * @param keyed DataFrame with columns (id, key)
+    * @param maxBucketSize drop keys whose bucket exceeds this (skew guard);
+    *                      None = unbounded (used by oracle-mirrored queries)
+    */
+  def pairsFromKeys(keyed: DataFrame, maxBucketSize: Option[Int] = None): DataFrame = {
+    val pruned = maxBucketSize match {
+      case Some(cap) =>
+        val counts = keyed.groupBy("key").agg(count(lit(1)).as("_n"))
+        keyed.join(counts.where(col("_n") <= cap), Seq("key")).drop("_n")
+      case None => keyed
+    }
+    val a = pruned.select(col("id").as("id1"), col("key"))
+    val b = pruned.select(col("id").as("id2"), col("key"))
+    a.join(b, Seq("key"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+      .distinct()
+  }
+
+  /** MinHash/LSH blocking pass over a shingle-array column.
+    * records(idCol, shinglesCol) -> canonical candidate pairs.
+    * Cost model: numHashes mins per record (map-side), `bands` keys shuffled
+    * per record, no payload movement.
+    */
+  def lshPairs(records: DataFrame, idCol: String, shinglesCol: String,
+               cfg: DedupConfig, cap: Option[Int] = None): DataFrame = {
+    val sig = Signatures.minHashCol(col(shinglesCol), cfg)
+    val keyed = records
+      .select(col(idCol).as("id"), explode(Signatures.bandKeysCol(sig, cfg.bands)).as("key"))
+    pairsFromKeys(keyed, cap)
+  }
+
+  /** Bit-block (pigeonhole) blocking pass for Hamming-close 64-bit hashes
+    * (phash / simhash): two hashes within Hamming distance blocks-1 share at
+    * least one identical block key.
+    */
+  def bitBlockPairs(records: DataFrame, idCol: String, hashCol: String,
+                    blocks: Int, totalBits: Int, cap: Option[Int] = None): DataFrame = {
+    val keyed = records.select(
+      col(idCol).as("id"),
+      explode(Signatures.bitBlockKeysCol(col(hashCol), blocks, totalBits)).as("key"))
+    pairsFromKeys(keyed, cap)
+  }
+
+  /** Sorted-neighborhood pass, offline semantics: order all records by
+    * (key, id) and pair each record with its w-1 predecessors — the
+    * reference's offline guarantee of w-1 comparisons/record
+    * (`OnlineSortedNeighborhoodMethod.java:57-58`). Null keys are skipped,
+    * as in the reference (:122-124).
+    *
+    * This oracle-facing variant uses a global window (single-partition
+    * sort) — correct at test scale; `snmPairsScalable` is the
+    * range-partitioned scale path.
+    */
+  def snmPairs(records: DataFrame, idCol: String, keyCol: Column, window: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("key"), col("id"))
+    val base = records.select(col(idCol).as("id"), keyCol.as("key")).where(col("key").isNotNull)
+    val withLags = (1 until window).foldLeft(base) { (df, i) =>
+      df.withColumn(s"_p$i", lag(col("id"), i).over(w))
+    }
+    val pairs = (1 until window).map { i =>
+      withLags.select(col("id"), col(s"_p$i").as("other")).where(col("other").isNotNull)
+    }.reduce(_ unionAll _)
+    pairs.select(
+        least(col("id"), col("other")).as("id1"),
+        greatest(col("id"), col("other")).as("id2"))
+      .distinct()
+  }
+
+  /** Scale path for SNM: range-partition by key, sort within partitions,
+    * slide a window per partition. Pairs spanning a partition boundary are
+    * recovered by replicating each partition's first (w-1) rows to the
+    * previous partition id (classic boundary-overlap trick) — no global
+    * sort, no single-partition bottleneck.
+    */
+  def snmPairsScalable(records: DataFrame, idCol: String, keyCol: Column,
+                       window: Int, numPartitions: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val base = records.select(col(idCol).cast("string").as("id"), keyCol.cast("string").as("key"))
+      .where(col("key").isNotNull)
+      .repartitionByRange(numPartitions, col("key"), col("id"))
+      .sortWithinPartitions(col("key"), col("id"))
+    val spark = records.sparkSession
+    // tag rows with partition id, replicate heads to predecessor partition
+    val withPid = base.withColumn("_pid", spark_partition_id())
+    val heads = withPid
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("_pid").orderBy("key", "id")))
+      .where(col("_rn") < window && col("_pid") > 0)
+      .select(col("id"), col("key"), (col("_pid") - 1).as("_pid"))
+    val all = withPid.select("id", "key", "_pid").unionAll(heads)
+      .repartition(col("_pid"))
+      .sortWithinPartitions(col("key"), col("id"))
+    val schema = StructType(Seq(StructField("id1", StringType), StructField("id2", StringType)))
+    val pairsRdd = all.select("id").rdd.mapPartitions { it =>
+      val buf = new scala.collection.mutable.ArrayDeque[String]()
+      it.flatMap { r =>
+        val id = r.getString(0)
+        val out = buf.iterator.map { p =>
+          if (p < id) Row(p, id) else Row(id, p)
+        }.toList
+        buf.append(id)
+        if (buf.size >= window) buf.removeHead()
+        out
+      }
+    }
+    spark.createDataFrame(pairsRdd, schema).distinct()
+  }
+
+  /** Substring-containment pass: pairs (A, B) where A's normalized text is a
+    * verbatim substring of B's (the north_star's "suffix-array substring
+    * pass" for caption-substring duplicates). Distributed form: index B by
+    * every k-gram, probe with A's first k-gram, verify containment — the
+    * inverted-index equivalent of a suffix scan, expressible as joins so
+    * Catalyst plans the shuffle.
+    */
+  def substringPairs(records: DataFrame, idCol: String, normCol: String, k: Int): DataFrame = {
+    val probe = records.select(
+        col(idCol).as("pid"), col(normCol).as("ptext"),
+        substring(col(normCol), 1, k).as("key"))
+      .where(length(col(normCol)) >= k)
+    val index = records.select(
+        col(idCol).as("iid"), col(normCol).as("itext"),
+        explode(Signatures.shinglesCol(col(normCol), k)).as("key"))
+    probe.join(index, Seq("key"))
+      .where(col("pid") =!= col("iid") &&
+        length(col("ptext")) <= length(col("itext")) &&
+        expr("instr(itext, ptext) > 0"))
+      .select(
+        least(col("pid"), col("iid")).as("id1"),
+        greatest(col("pid"), col("iid")).as("id2"))
+      .distinct()
+  }
+}

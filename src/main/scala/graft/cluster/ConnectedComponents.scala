@@ -1,0 +1,94 @@
+package graft.cluster
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over DUPLICATE edges — the scale
+  * re-expression of the reference's incremental in-memory transitive closure
+  * (bakdata/dedupe `common/dedupe/clustering/TransitiveClosure.java:52-140`,
+  * whose id->cluster map grows unboundedly on the heap).
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — O(log n)
+  * rounds even on path graphs, each round two shuffles (groupBy min +
+  * join). Cluster id = min member id: deterministic and order-independent,
+  * unlike the reference's counter ids (`ClusterIdGenerators.java:36-59`,
+  * SURVEY.md §7.5 risk 1).
+  *
+  * Each round ends in `localCheckpoint()` to cut the lineage (a fixpoint
+  * loop would otherwise grow an unbounded plan).
+  */
+object ConnectedComponents {
+
+  /** @param edges DataFrame with two columns (src, dst) of one orderable
+    *              type (long or string). Self-loops ignored.
+    * @return DataFrame (id, cluster_id) for every node incident to an edge;
+    *         callers union isolated records back as singletons.
+    */
+  def run(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    val spark = edges.sparkSession
+    val Seq(srcC, dstC) = edges.columns.toSeq.take(2)
+    // canonical undirected edge set, u > v convention dropped; keep (u, v) pairs u != v
+    var e = edges
+      .select(col(srcC).as("u"), col(dstC).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // ---- large-star: for each u, connect every neighbor v > u to
+      //      m = min(N(u) ∪ {u})
+      val adj = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = adj.groupBy("u").agg(min(col("v")).as("_mv"))
+        .select(col("u"), least(col("u"), col("_mv")).as("m"))
+      val large = adj.join(mins, Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+
+      // ---- small-star: for each u over neighbors v <= u (v < u since no
+      //      self-loops), connect them all (and u) to m = min(N<(u) ∪ {u})
+      val adj2 = large.unionAll(large.select(col("v").as("u"), col("u").as("v")))
+      val smallNbr = adj2.where(col("v") < col("u"))
+      val smins = smallNbr.groupBy("u").agg(min(col("v")).as("m"))
+      val small = smallNbr.join(smins, Seq("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .unionAll(smins.select(col("u").as("a"), col("m").as("b")))
+        .where(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("v"), greatest(col("a"), col("b")).as("u"))
+        .select(col("u"), col("v"))
+        .distinct()
+        .localCheckpoint()
+
+      // convergence: edge set unchanged — compare (count, xor of edge
+      // hashes): order-insensitive, overflow-free under ANSI mode
+      def sigOf(df: DataFrame) = df.agg(
+        count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(cast(u as string), cast(v as string)))"), lit(0L)).as("h"))
+        .head()
+      converged = sigOf(small) == sigOf(e)
+      e = small
+      iter += 1
+    }
+
+    // after convergence e is a star forest: (bigger -> component min)
+    val members = e.select(col("u").as("id"), col("v").as("cluster_id"))
+    val roots = e.select(col("v").as("id"), col("v").as("cluster_id")).distinct()
+    members.unionAll(roots)
+      .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
+  }
+
+  /** Assignment for all records: CC over edges, singletons map to
+    * themselves — clusters partition the dataset, matching the reference's
+    * contract (`Cluster.java:38-44`, SURVEY.md §7.1.3).
+    */
+  def assignAll(records: DataFrame, idCol: String, edges: DataFrame): DataFrame = {
+    val assigned = run(edges)
+    records.select(col(idCol).as("id"))
+      .join(assigned, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+  }
+}

@@ -109,6 +109,17 @@ object Signatures {
     else Seq(ws.mkString(" "))
   }
 
+  /** Column form of [[wordNgrams]] over a normalized-string column. */
+  def wordNgramsCol(c: Column, n: Int): Column = {
+    val ws = wordsCol(c)
+    when(size(ws) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", slice(ws, i, lit(n))))))
+      .when(size(ws) === 0, array().cast("array<string>"))
+      .otherwise(array(concat_ws(" ", ws)))
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   /** MinHash signature of a shingle set: for each i, min over shingles of
@@ -213,7 +224,7 @@ object Signatures {
   }
 
   def simHashCol(tokensCol: Column, bits: Int): Column = {
-    val f = udf((toks: Seq[String]) => if (toks == null) null else simHash(toks, bits))
+    val f = udf((toks: Seq[String]) => simHash(if (toks == null) Seq.empty else toks, bits))
     f(tokensCol)
   }
 
