@@ -1,24 +1,97 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.app.Pipeline
+import graft.gen.ImageGen
+import graft.model.DedupConfig
+
+/** Benchmark main. Prints ONE JSON line:
+  *  - per-query wall times on the driver's sf tables at SPARK_GRAFT_CPUS
+  *  - flagship image-dedup pipeline throughput at two parallelism levels
+  *    (local[8] = N, local[32] = 4N) on the identical deterministic input —
+  *    the sandbox evidence protocol for the north_rule's N->4N scaling
+  *    criterion (BASELINE.md): efficiency = (thr@4N / thr@N) / 4.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def session(cores: Int): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def time[A](f: => A): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Materialize the deterministic input once as parquet (untimed) — the
+    * timed run then measures the ENGINE on a columnar source scan, as in
+    * production, not the image encoder.
+    */
+  def ensureInput(spark: SparkSession, n: Long): String = {
+    val path = s"/tmp/graft_bench_input_$n"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      ImageGen.asImages(ImageGen.generate(spark, n, 42L, 32))
+        .write.mode("overwrite").parquet(path)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    path
+  }
+
+  def pipelineRun(spark: SparkSession, path: String): Long = {
+    import spark.implicits._
+    val images = spark.read.parquet(path).as[graft.model.ImageRecord]
+    val (assign, canon) = Pipeline.run(spark, images, DedupConfig())
+    val c = canon.count()
+    assign.unpersist(false)
+    c
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val benchN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "40000").toLong
+
+    // ---- per-query timings on the sf tables
+    var spark = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t = time { try fn(spark, sfDir).count() catch { case _: Throwable => () } }
+      name -> t
+    }
+
+    // ---- scaling evidence: identical pipeline job at N=8 and 4N=32 cores
     spark.stop()
+    val scaling = Seq(8, 32).map { cores =>
+      val s = session(cores)
+      val warm = ensureInput(s, 2000L)
+      val input = ensureInput(s, benchN)
+      // warm JVM/codegen once at small n so both levels pay equal warmup
+      pipelineRun(s, warm)
+      val t = time(pipelineRun(s, input))
+      s.stop()
+      cores -> (benchN / t, t)
+    }.toMap
+    val thr8 = scaling(8)._1.toDouble
+    val thr32 = scaling(32)._1.toDouble
+    val eff = (thr32 / thr8) / 4.0
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""pipeline_n":$benchN,"images_per_sec_n8":${thr8},"images_per_sec_n32":${thr32},""" +
+      s""""pipeline_sec_n8":${scaling(8)._2},"pipeline_sec_n32":${scaling(32)._2},""" +
+      s""""scaling_efficiency":$eff}""")
   }
 }

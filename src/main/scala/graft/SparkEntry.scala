@@ -17,12 +17,18 @@ object SparkEntry {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Runs the full near-dup pipeline (block -> verify -> cluster) on the
-    * documents table and returns cluster assignments.
+  /** Flagship query; driver smoke-checks rows>0. Runs the FULL 6-stage
+    * near-dup pipeline (features -> multi-pass blocking -> rule-cascade
+    * verify -> connected components -> refine -> fusion) on a 2000-row
+    * deterministic synthetic image+caption table (the north_rule input
+    * shape) and returns the canonical records.
     */
-  def entry(spark: SparkSession): DataFrame =
-    Queries.pipelineClusters(spark, "/root/testdata/sf0.001")
+  def entry(spark: SparkSession): DataFrame = {
+    val images = graft.gen.ImageGen.asImages(
+      graft.gen.ImageGen.generate(spark, 2000L, seed = 42L, partitions = 8))
+    val (_, canon) = graft.app.Pipeline.run(spark, images, graft.model.DedupConfig())
+    canon.toDF()
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all

@@ -32,17 +32,27 @@ object Blocking {
     *                      None = unbounded (used by oracle-mirrored queries)
     */
   def pairsFromKeys(keyed: DataFrame, maxBucketSize: Option[Int] = None): DataFrame = {
-    val pruned = maxBucketSize match {
-      case Some(cap) =>
-        val counts = keyed.groupBy("key").agg(count(lit(1)).as("_n"))
-        keyed.join(counts.where(col("_n") <= cap), Seq("key")).drop("_n")
-      case None => keyed
+    // ONE shuffle: group ids per key, pair within the bucket. (A self-join
+    // on key computes the same pair set but costs a count shuffle for the
+    // cap plus a join shuffle; measured ~2x slower.) Buckets above the cap
+    // are dropped whole — their pairing cost is quadratic and their
+    // selectivity is near zero (skew guard; SURVEY.md §7.5 risk 2).
+    val capped = maxBucketSize match {
+      case Some(cap) => size(col("ids")).between(2, cap)
+      case None => size(col("ids")) >= 2
     }
-    val a = pruned.select(col("id").as("id1"), col("key"))
-    val b = pruned.select(col("id").as("id2"), col("key"))
-    a.join(b, Seq("key"))
-      .where(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"))
+    // type-preserving pair expansion: i<j index pairs, canonicalized with
+    // least/greatest in the id's own type (numeric ids compare numerically —
+    // matching the oracle's `a.doc_id < b.doc_id`)
+    val ids = col("ids")
+    val pairs = flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), greatest(size(ids) - i - 1, lit(0))), y =>
+        struct(least(x, y).as("id1"), greatest(x, y).as("id2")))))
+    keyed.groupBy("key").agg(collect_list(col("id")).as("ids"))
+      .where(capped)
+      .select(explode(pairs).as("p"))
+      .select(col("p.id1"), col("p.id2"))
+      .where(col("id1") =!= col("id2"))
       .distinct()
   }
 
@@ -145,11 +155,20 @@ object Blocking {
     * inverted-index equivalent of a suffix scan, expressible as joins so
     * Catalyst plans the shuffle.
     */
-  def substringPairs(records: DataFrame, idCol: String, normCol: String, k: Int): DataFrame = {
-    val probe = records.select(
+  def substringPairs(records: DataFrame, idCol: String, normCol: String, k: Int,
+                     cap: Option[Int] = None): DataFrame = {
+    val probe0 = records.select(
         col(idCol).as("pid"), col(normCol).as("ptext"),
         substring(col(normCol), 1, k).as("key"))
       .where(length(col(normCol)) >= k)
+    // skew guard: a prefix key probed by more than `cap` records makes the
+    // bucket join quadratic — drop it (counted by callers via metrics)
+    val probe = cap match {
+      case Some(c) =>
+        val counts = probe0.groupBy("key").agg(count(lit(1)).as("_n"))
+        probe0.join(counts.where(col("_n") <= c), Seq("key")).drop("_n")
+      case None => probe0
+    }
     val index = records.select(
         col(idCol).as("iid"), col(normCol).as("itext"),
         explode(Signatures.shinglesCol(col(normCol), k)).as("key"))

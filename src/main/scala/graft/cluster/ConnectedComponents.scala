@@ -37,6 +37,13 @@ object ConnectedComponents {
 
     var converged = false
     var iter = 0
+    // convergence signature of the current edge set; carried across
+    // iterations so each round pays ONE aggregate action, not two
+    def sigOf(df: DataFrame) = df.agg(
+      count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(cast(u as string), cast(v as string)))"), lit(0L)).as("h"))
+      .head()
+    var prevSig = sigOf(e)
     while (!converged && iter < maxIter) {
       // ---- large-star: for each u, connect every neighbor v > u to
       //      m = min(N(u) ∪ {u})
@@ -63,13 +70,9 @@ object ConnectedComponents {
         .distinct()
         .localCheckpoint()
 
-      // convergence: edge set unchanged — compare (count, xor of edge
-      // hashes): order-insensitive, overflow-free under ANSI mode
-      def sigOf(df: DataFrame) = df.agg(
-        count(lit(1)).as("n"),
-        coalesce(expr("bit_xor(xxhash64(cast(u as string), cast(v as string)))"), lit(0L)).as("h"))
-        .head()
-      converged = sigOf(small) == sigOf(e)
+      val sig = sigOf(small)
+      converged = sig == prevSig
+      prevSig = sig
       e = small
       iter += 1
     }
@@ -87,8 +90,12 @@ object ConnectedComponents {
     */
   def assignAll(records: DataFrame, idCol: String, edges: DataFrame): DataFrame = {
     val assigned = run(edges)
+    // fresh aliases on the way out: the output must not re-expose the input
+    // relation's attributes (self-join ambiguity when callers join the
+    // assignment back to the same records)
     records.select(col(idCol).as("id"))
       .join(assigned, Seq("id"), "left")
-      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+      .select(col("id").as("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+      .toDF("id", "cluster_id")
   }
 }

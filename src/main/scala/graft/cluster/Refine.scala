@@ -177,9 +177,16 @@ object Refine {
                 maxSmall: Int, seed: Long): Array[Int] = {
     val rnd = new Random(seed)
     val desired = triangularNumber(maxSmall)
+    // Scale guard (beyond the reference): a dense known-edge set makes both
+    // the triangle fill and the greedy loop quadratic-in-edges x O(n^2)
+    // scoring — subsample to a few x desired; the greedy merge only needs a
+    // spanning sample, not every edge.
+    val sampled =
+      if (known.size > desired * 4) rnd.shuffle(known).take(desired * 4)
+      else known
     val base =
-      if (known.isEmpty) randomEdges(triangularNumber(n), desired, rnd)
-      else addRandomEdges(rnd.shuffle(known), desired, maxSmall, rnd)
+      if (sampled.isEmpty) randomEdges(triangularNumber(n), desired, rnd)
+      else addRandomEdges(rnd.shuffle(sampled), desired, maxSmall, rnd)
     val weighted = base.map(e =>
       if (e.w.isNaN) e.copy(w = classify(e.l, e.r)) else e)
     greedyCluster(n, weighted)

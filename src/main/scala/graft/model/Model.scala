@@ -74,6 +74,10 @@ final case class Edge(src: String, dst: String, weight: Double)
   * @param simhashBandBits bits per simhash band-table block
   * @param jaccardThreshold  verify threshold on caption shingle Jaccard
   * @param hammingThreshold  verify threshold on phash/simhash Hamming distance
+  * @param phashBlocks   pigeonhole blocks over the 64-bit phash (4 x 16-bit
+  *        blocks guarantee capture at Hamming <= 3 — covers lossy re-encode;
+  *        more blocks catch larger distances but explode buckets on
+  *        low-entropy images)
   * @param maxBucketSize LSH band-bucket cap (skew guard; dropped pairs counted)
   * @param maxSmallClusterSize refine exact-partition cutoff
   *        (ref `RefineClusterImpl.java:86` default 10)
@@ -84,9 +88,10 @@ final case class DedupConfig(
     bands: Int = 32,
     simhashBits: Int = 60,
     simhashBandBits: Int = 15,
+    phashBlocks: Int = 4,
     jaccardThreshold: Double = 0.8,
     hammingThreshold: Int = 8,
-    maxBucketSize: Int = 200,
+    maxBucketSize: Int = 64,
     maxSmallClusterSize: Int = 10,
     seed: Long = 42L) {
   require(numHashes % bands == 0, "numHashes must be divisible by bands")

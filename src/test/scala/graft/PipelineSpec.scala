@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.app.Pipeline
+import graft.gen.ImageGen
+import graft.model.{Classification, DedupConfig}
+import graft.sig.Signatures
+
+/** End-to-end pipeline tests against the naive in-memory oracle
+  * (FIXTURES.md §3, BASELINE.json north_rule: dup-pair recall >= 0.99 at
+  * identical shingle/signature config) plus the per-row invariants
+  * (decoded-pixel PSNR >= 40 dB for lossy, caption equality).
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .appName("pipeline-spec")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  val cfg: DedupConfig = DedupConfig()
+  val n = 1000L
+  val seed = 42L
+
+  // ---------------------------------------------------------- naive oracle
+
+  final case class OFeat(id: String, norm: String, shs: Set[String],
+                         phash: Long, simhash: Long, chash: String)
+
+  def oracleFeatures(recs: Seq[ImageGen.GenRecord]): Seq[OFeat] = recs.map { r =>
+    val norm = Signatures.normalize(r.caption)
+    OFeat(r.image_id, norm, Signatures.shingles(norm, cfg.shingleK).toSet,
+      r.phash, Signatures.simHash(Signatures.words(norm), cfg.simhashBits),
+      java.security.MessageDigest.getInstance("MD5").digest(r.bytes)
+        .map(b => f"$b%02x").mkString)
+  }
+
+  /** The verify cascade's exact semantics, applied to an arbitrary pair. */
+  def oracleDuplicate(a: OFeat, b: OFeat): Boolean = {
+    if (a.chash == b.chash) return true
+    val contains =
+      (a.norm.length <= b.norm.length && a.norm.length >= cfg.shingleK && b.norm.contains(a.norm)) ||
+      (b.norm.length < a.norm.length && b.norm.length >= cfg.shingleK && a.norm.contains(b.norm))
+    if (contains) return true
+    val u = (a.shs ++ b.shs).size
+    val jac = if (u == 0) 1.0 else (a.shs & b.shs).size.toDouble / u
+    val ph = 1.0 - Signatures.hamming(a.phash, b.phash) / 64.0
+    val sh = 1.0 - Signatures.hamming(a.simhash, b.simhash) / cfg.simhashBits.toDouble
+    if (jac < 0.05 && ph < 0.7 && sh < 0.7) return false
+    (2 * jac + ph + sh) / 4 >= cfg.jaccardThreshold
+  }
+
+  /** Union-find transitive closure (the reference's TC semantics). */
+  def unionFind(ids: Seq[String], dupPairs: Seq[(String, String)]): Map[String, String] = {
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: String): String = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    dupPairs.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    ids.map(i => i -> find(i)).toMap
+  }
+
+  def intraPairs(assign: Map[String, String]): Set[(String, String)] =
+    assign.groupBy(_._2).values.flatMap { m =>
+      val ids = m.keys.toSeq.sorted
+      for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+    }.toSet
+
+  lazy val gen: Seq[ImageGen.GenRecord] =
+    (0L until n).map(i => ImageGen.record(seed, i, n))
+
+  lazy val oracleAssign: Map[String, String] = {
+    val feats = oracleFeatures(gen)
+    val pairs = for {
+      i <- feats.indices; j <- i + 1 until feats.length
+      if oracleDuplicate(feats(i), feats(j))
+    } yield (feats(i).id, feats(j).id)
+    unionFind(feats.map(_.id), pairs)
+  }
+
+  lazy val pipelineOut = {
+    val images = ImageGen.asImages(ImageGen.generate(spark, n, seed, 8))
+    val df = images.toDF()
+    val feats = Pipeline.features(df, cfg).cache()
+    val cands = Pipeline.candidates(feats, cfg)
+    val scored = Pipeline.classified(feats, cands, cfg).cache()
+    val assign0 = Pipeline.cluster(feats, scored)
+    val refined = Pipeline.refine(assign0, feats, scored, cfg)
+    val canon = Pipeline.fuse(images.toDF(), refined)
+    (assign0, refined, canon, scored)
+  }
+
+  // ----------------------------------------------------------------- tests
+
+  test("generator is deterministic and PSNR invariant holds per row") {
+    val r1 = ImageGen.record(seed, 7L, n)
+    val r2 = ImageGen.record(seed, 7L, n)
+    assert(r1.caption == r2.caption && r1.bytes.sameElements(r2.bytes))
+    gen.take(60).foreach { r =>
+      val (w, h, px) = ImageGen.decode(r.bytes)
+      assert(w == r.w && h == r.h, s"${r.image_id} dims")
+      val orig = ImageGen.pixels(seed,
+        if (r.gold_cluster == r.image_id) r.image_id.drop(3).toLong
+        else r.gold_cluster.drop(3).toLong, w, h)
+      val p = ImageGen.psnr(orig, px)
+      if (r.fmt == "jpg") assert(p >= 40.0, s"${r.image_id} fmt=jpg psnr=$p")
+      else assert(p == Double.PositiveInfinity, s"${r.image_id} fmt=${r.fmt} lossless psnr=$p")
+    }
+  }
+
+  test("pipeline dup-pair recall vs naive oracle >= 0.99 (north_rule)") {
+    val oraclePairs = intraPairs(oracleAssign)
+    val got = pipelineOut._1.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val gotPairs = intraPairs(got)
+    val recall = (gotPairs & oraclePairs).size.toDouble / math.max(oraclePairs.size, 1)
+    val precision = (gotPairs & oraclePairs).size.toDouble / math.max(gotPairs.size, 1)
+    info(s"oracle pairs=${oraclePairs.size} pipeline pairs=${gotPairs.size} " +
+      s"recall=$recall precision=$precision")
+    assert(recall >= 0.99, s"recall $recall below 0.99")
+    assert(precision >= 0.95, s"precision $precision suspiciously low")
+  }
+
+  test("gold-cluster recall: planted duplicates are found") {
+    val goldPairs = intraPairs(gen.map(r => r.image_id -> r.gold_cluster).toMap)
+    val got = pipelineOut._1.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val gotPairs = intraPairs(got)
+    val recall = (gotPairs & goldPairs).size.toDouble / math.max(goldPairs.size, 1)
+    info(s"gold pairs=${goldPairs.size} found=${(gotPairs & goldPairs).size} recall=$recall")
+    assert(recall >= 0.95, s"gold recall $recall")
+  }
+
+  test("refine only splits, never merges (SURVEY.md §7.1.5)") {
+    val before = pipelineOut._1.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val after = pipelineOut._2.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(before.keySet == after.keySet, "refine must preserve the record set")
+    // every refined cluster is a subset of a TC cluster
+    after.groupBy(_._2).values.foreach { m =>
+      val tcClusters = m.keys.map(before).toSet
+      assert(tcClusters.size == 1, s"refined cluster spans TC clusters: $tcClusters")
+    }
+  }
+
+  test("fusion: every cluster yields one canonical; caption from members; singletons pass through") {
+    val canon = pipelineOut._3.collect()
+    val assign = pipelineOut._2.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(canon.length == assign.values.toSet.size)
+    val capByIds = gen.map(r => r.image_id -> r.caption).toMap
+    val members = assign.groupBy(_._2)
+    canon.foreach { c =>
+      val ms = members(c.cluster_id).keys.toSeq
+      assert(ms.contains(c.image_id))
+      assert(c.image_id == ms.min, "canonical id must be min member id")
+      assert(ms.map(capByIds).contains(c.caption), "caption must come from a member")
+      assert(c.fuse_errors.isEmpty, s"unexpected fusion errors: ${c.fuse_errors}")
+    }
+    val singleton = canon.filter(_.n_members == 1)
+    singleton.take(20).foreach { c =>
+      assert(c.caption == capByIds(c.image_id))
+    }
+  }
+
+  test("classification cascade emits lineage explanations") {
+    val byRule = pipelineOut._4.groupBy("explanation").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    info(s"rule firing counts: $byRule")
+    assert(byRule.contains("exact-bytes"))
+    assert(byRule.contains("weighted-default"))
+    assert(byRule.keys.forall(Set("exact-bytes", "substring", "disjoint", "weighted-default")))
+  }
+}
