@@ -1,0 +1,405 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.block.Blocking
+import graft.classify.Classifier
+import graft.fuse.Fusion
+import graft.model.Classification
+import graft.ops.{Embeddings, Multimodal, TextAnalysis}
+import graft.sig.Signatures
+
+/** Extension operator catalog: similarity search, text analysis,
+  * classification cascade, fusion, multi-pass SNM, event windows,
+  * multimodal decode — each with an exact DuckDB oracle where SQL can
+  * express it (rows-only otherwise).
+  */
+object ExtQueries {
+
+  import SparkEntry.table
+
+  // --------------------------------------------------------------- ANN
+
+  val annK = 10
+  val annQueryMod = 50
+  val embThreshold = 0.4
+
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = table(spark, dir, "embeddings")
+    annotateQueries(vecs)
+  }
+
+  private def annotateQueries(vecs: DataFrame): DataFrame =
+    Embeddings.topK(vecs, vecs.where(col("vec_id") % annQueryMod === 0), annK)
+
+  private val annTopKSql =
+    s"""WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % $annQueryMod = 0),
+v AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id,
+    list_dot_product(qv, nv) /
+      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS cosine
+  FROM q JOIN v ON query_id <> neighbor_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM r WHERE rank <= $annK"""
+
+  def embPairs(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.thresholdPairs(table(spark, dir, "embeddings"), embThreshold)
+
+  private val embPairsSql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+  list_dot_product(a.v, b.v) /
+    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) /
+    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= $embThreshold"""
+
+  /** SRP-LSH approximate variant (rows-only: float hyperplane math is not
+    * SQL-mirrorable bit-exactly; recall vs brute force is asserted in
+    * AnnSpec instead).
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.lshThresholdPairs(table(spark, dir, "embeddings"), 64, embThreshold)
+
+  // ------------------------------------------------------- text analysis
+
+  def taLangid(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(table(spark, dir, "documents"), "text")
+
+  private val taLangidSql = {
+    val ratioCols = TextAnalysis.markers.map { case (l, ms) =>
+      val set = ms.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(toks, x -> x IN ($set)))::DOUBLE / greatest(n_tokens, 1) AS r_$l"
+    }.mkString(",\n    ")
+    val rs = TextAnalysis.markers.map { case (l, _) => s"r_$l" }
+    val best = s"greatest(${rs.mkString(", ")})"
+    val caseArms = TextAnalysis.markers.map { case (l, _) =>
+      s"WHEN r_$l = $best THEN '$l'"
+    }.mkString(" ")
+    s"""WITH t AS (
+  SELECT doc_id, string_split(${Signatures.normalizeSql("text")}, ' ') AS toks
+  FROM documents),
+b AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM t),
+r AS (
+  SELECT doc_id, n_tokens,
+    $ratioCols
+  FROM b)
+SELECT doc_id, n_tokens, ${rs.mkString(", ")},
+  CASE WHEN $best >= 0.03 THEN (CASE $caseArms END) ELSE 'und' END AS lang_pred
+FROM r"""
+  }
+
+  def taQuality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.quality(table(spark, dir, "documents"), "text")
+
+  private val taQualitySql = {
+    val stop = TextAnalysis.markers.flatMap(_._2).map(m => s"'$m'").mkString(", ")
+    s"""WITH base AS (
+  SELECT doc_id, text, string_split(${Signatures.normalizeSql("text")}, ' ') AS toks
+  FROM documents),
+m AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    len(toks) AS n_tokens,
+    length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS n_punct,
+    len(list_filter(toks, x -> x IN ($stop))) AS n_stop,
+    len(list_distinct(toks)) AS n_distinct
+  FROM base)
+SELECT doc_id, n_chars, n_tokens, n_punct, n_stop, n_distinct,
+  n_punct::DOUBLE / greatest(n_chars, 1) AS punct_ratio,
+  n_stop::DOUBLE / greatest(n_tokens, 1) AS stop_ratio,
+  n_distinct::DOUBLE / greatest(n_tokens, 1) AS distinct_ratio,
+  (n_chars - n_tokens + 1)::DOUBLE / greatest(n_tokens, 1) AS mean_token_len,
+  (n_tokens >= 5 AND n_punct::DOUBLE / greatest(n_chars, 1) < 0.3
+    AND n_distinct::DOUBLE / greatest(n_tokens, 1) > 0.2) AS quality_ok
+FROM m"""
+  }
+
+  def taFingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(table(spark, dir, "documents"), "text")
+
+  private val taFingerprintSql =
+    s"""WITH ${OracleGen.nrmCte},
+${OracleGen.charShingleCtes(8)},
+mn AS (SELECT doc_id, min(${Signatures.hash60Sql("sh")}) AS fp_minshingle FROM sh GROUP BY 1)
+SELECT n.doc_id, ${Signatures.hash60Sql("n.norm")} AS fp_exact, mn.fp_minshingle
+FROM nrm n JOIN mn ON mn.doc_id = n.doc_id"""
+
+  // --------------------------------------------------- classification
+
+  /** Rule cascade over inverted-index candidates: exact-text rule,
+    * substring POSSIBLE rule promoted by policy, Jaccard threshold rule —
+    * exercising positiveRule/possibleRule/thresholdRule/cascade/
+    * handlePossibleDuplicates with full lineage.
+    */
+  def classifyRules(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), Signatures.normalizeCol(col("text")).as("norm"),
+        Signatures.wordNgramsCol(Signatures.normalizeCol(col("text")), Queries.ngramN).as("shs"))
+    val keyed = docs.select(col("doc_id").as("id"), explode(col("shs")).as("key"))
+    val cands = Blocking.pairsFromKeys(keyed)
+    val f1 = docs.select(col("doc_id").as("id1"), col("text").as("t1"),
+      col("norm").as("n1"), col("shs").as("s1"))
+    val f2 = docs.select(col("doc_id").as("id2"), col("text").as("t2"),
+      col("norm").as("n2"), col("shs").as("s2"))
+    val sims = cands.join(f1, Seq("id1")).join(f2, Seq("id2")).select(
+      col("id1"), col("id2"),
+      (col("t1") === col("t2")).as("texteq"),
+      ((length(col("n1")) <= length(col("n2")) && expr("instr(n2, n1) > 0") &&
+        length(col("n1")) >= 8) ||
+        (length(col("n2")) < length(col("n1")) && expr("instr(n1, n2) > 0") &&
+          length(col("n2")) >= 8)).as("contains"),
+      graft.similarity.Sims.jaccardArr(col("s1"), col("s2")).as("jac"))
+    val cascade = Classifier.cascade(
+      Classifier.positiveRule("exact-text", col("texteq").cast("double")),
+      Classifier.possibleRule("substring", when(col("contains"), 0.95).otherwise(0.0)),
+      Classifier.thresholdRule("jaccard-threshold", col("jac"), Queries.ngramJaccardT))
+    Classifier.handlePossibleDuplicates(Classifier.classify(sims, cascade), "promote")
+      .select(col("id1"), col("id2"), col("classification"),
+        col("confidence"), col("explanation"))
+  }
+
+  private val classifyRulesSql = {
+    val t = Queries.ngramJaccardT
+    s"""WITH ${OracleGen.nrmCte},
+${OracleGen.wordNgramCtes(Queries.ngramN)},
+${OracleGen.invertedIndexCandsCte},
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.id1, c.id2, count(*) AS c
+  FROM cands c
+  JOIN sh s1 ON s1.doc_id = c.id1
+  JOIN sh s2 ON s2.doc_id = c.id2 AND s2.sh = s1.sh
+  GROUP BY 1, 2),
+sims AS (
+  SELECT c.id1, c.id2,
+    (d1.text = d2.text) AS texteq,
+    ((length(n1.norm) <= length(n2.norm) AND length(n1.norm) >= 8 AND strpos(n2.norm, n1.norm) > 0)
+      OR (length(n2.norm) < length(n1.norm) AND length(n2.norm) >= 8 AND strpos(n1.norm, n2.norm) > 0))
+      AS contains,
+    CAST(coalesce(i.c, 0) AS DOUBLE) / (c1.n + c2.n - coalesce(i.c, 0)) AS jac
+  FROM cands c
+  JOIN documents d1 ON d1.doc_id = c.id1
+  JOIN documents d2 ON d2.doc_id = c.id2
+  JOIN nrm n1 ON n1.doc_id = c.id1
+  JOIN nrm n2 ON n2.doc_id = c.id2
+  JOIN cnt c1 ON c1.doc_id = c.id1
+  JOIN cnt c2 ON c2.doc_id = c.id2
+  LEFT JOIN inter i ON i.id1 = c.id1 AND i.id2 = c.id2)
+SELECT id1, id2,
+  CASE WHEN texteq THEN 'DUPLICATE'
+       WHEN contains THEN 'DUPLICATE'
+       WHEN jac >= $t THEN 'DUPLICATE'
+       ELSE 'NON_DUPLICATE' END AS classification,
+  CASE WHEN texteq THEN 1.0
+       WHEN contains THEN 0.95
+       WHEN jac >= $t THEN (jac - $t) / ${1 - t}
+       ELSE ($t - jac) / $t END AS confidence,
+  CASE WHEN texteq THEN 'exact-text'
+       WHEN contains THEN 'substring'
+       ELSE 'jaccard-threshold' END AS explanation
+FROM sims"""
+  }
+
+  // ------------------------------------------------------------ fusion
+
+  /** Per-cluster conflict-resolution fusion over the cc_clusters partition,
+    * using the real Merge DSL in mapGroups (longest-then-min text,
+    * mostFrequent-then-min lang), plus count/sum aggregates.
+    */
+  def fuseCanonical(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import Fusion._
+    final case class DocRow(doc_id: Long, text: String, lang: String, n_chars: Long)
+
+    val assign = Queries.ccClusters(spark, dir).toDF("doc_id", "cluster_id")
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    val joined = docs.join(assign, Seq("doc_id"))
+      .select(col("cluster_id"), col("doc_id"), col("text"), col("lang"), col("n_chars"))
+
+    val merge = Merge[DocRow](Seq(
+      FieldMerge[DocRow, String]("text", _.text, (r, v) => r.copy(text = v),
+        andThen(longest, min[String])),
+      FieldMerge[DocRow, String]("lang", _.lang, (r, v) => r.copy(lang = v),
+        andThen(mostFrequent[String], min[String]))))
+
+    joined.as[(Long, Long, String, String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (cid, it) =>
+        val mem = it.toArray.sortBy(_._2)
+        val annotated = mem.map(m => Annotated(DocRow(m._2, m._3, m._4, m._5), "src", 1.0, 0L)).toSeq
+        val (rec, _) = merge.fuse(annotated)
+        (cid, mem.length.toLong, rec.text, rec.lang, mem.map(_._5).sum)
+      }
+      .toDF("cluster_id", "n_members", "text", "lang", "sum_chars")
+  }
+
+  private val fuseCanonicalSql =
+    s"""WITH RECURSIVE ${OracleGen.nrmCte},
+${OracleGen.wordNgramCtes(Queries.ngramN)},
+${OracleGen.invertedIndexCandsCte},
+${OracleGen.jaccardPairsCte(Queries.ngramJaccardT)},
+${OracleGen.ccCte},
+j AS (
+  SELECT c.cluster_id, d.doc_id, d.text, d.lang, d.n_chars
+  FROM cc c JOIN documents d ON d.doc_id = c.doc_id),
+txt AS (
+  SELECT cluster_id, text FROM (
+    SELECT cluster_id, text,
+      row_number() OVER (PARTITION BY cluster_id ORDER BY length(text) DESC, text) AS rn
+    FROM j) WHERE rn = 1),
+lng AS (
+  SELECT cluster_id, lang FROM (
+    SELECT cluster_id, lang,
+      row_number() OVER (PARTITION BY cluster_id ORDER BY cnt DESC, lang) AS rn
+    FROM (SELECT cluster_id, lang, count(*) AS cnt FROM j GROUP BY 1, 2)) WHERE rn = 1),
+agg AS (SELECT cluster_id, count(*) AS n_members,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM j GROUP BY 1)
+SELECT a.cluster_id, a.n_members, t.text, l.lang, a.sum_chars
+FROM agg a JOIN txt t USING (cluster_id) JOIN lng l USING (cluster_id)"""
+
+  // ------------------------------------------- similarity measure surface
+
+  /** The similarity library over SNM candidate name pairs: normalized
+    * Levenshtein, Jaro-Winkler (canonical 0.7 boost — DuckDB-parity),
+    * equality, scaled numeric difference.
+    */
+  def simMeasures(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer")
+    val pairs = Blocking.snmPairs(cust, "c_custkey", col("c_name"), Queries.snmWindow)
+    val c1 = cust.select(col("c_custkey").as("id1"), col("c_name").as("name1"),
+      col("c_acctbal").as("bal1"))
+    val c2 = cust.select(col("c_custkey").as("id2"), col("c_name").as("name2"),
+      col("c_acctbal").as("bal2"))
+    val jw = graft.similarity.SimUdfs.jaroWinklerCol(0.7)
+    pairs.join(c1, Seq("id1")).join(c2, Seq("id2")).select(
+      col("id1"), col("id2"),
+      graft.similarity.Sims.levenshteinSim(col("name1"), col("name2")).as("lev_sim"),
+      jw(col("name1"), col("name2")).as("jw_sim"),
+      graft.similarity.Sims.equality(col("name1"), col("name2")).as("name_eq"),
+      graft.similarity.Sims.scaledDifference(1000.0)(col("bal1"), col("bal2")).as("bal_sim"))
+  }
+
+  private val simMeasuresSql =
+    s"""WITH b AS (
+  SELECT c_custkey AS id, c_name AS key FROM customer WHERE c_name IS NOT NULL),
+l AS (
+  SELECT id,
+    lag(id, 1) OVER (ORDER BY key, id) AS p1,
+    lag(id, 2) OVER (ORDER BY key, id) AS p2
+  FROM b),
+pairs AS (
+  SELECT DISTINCT least(id, p) AS id1, greatest(id, p) AS id2
+  FROM (SELECT id, p1 AS p FROM l UNION ALL SELECT id, p2 FROM l)
+  WHERE p IS NOT NULL)
+SELECT p.id1, p.id2,
+  CASE WHEN greatest(length(a.c_name), length(b.c_name)) = 0 THEN 1.0
+       ELSE 1.0 - levenshtein(a.c_name, b.c_name)::DOUBLE /
+            greatest(length(a.c_name), length(b.c_name)) END AS lev_sim,
+  jaro_winkler_similarity(a.c_name, b.c_name) AS jw_sim,
+  CASE WHEN a.c_name = b.c_name THEN 1.0 ELSE 0.0 END AS name_eq,
+  greatest(0.0, 1.0 - abs(a.c_acctbal - b.c_acctbal) / 1000.0) AS bal_sim
+FROM pairs p
+JOIN customer a ON a.c_custkey = p.id1
+JOIN customer b ON b.c_custkey = p.id2"""
+
+  // --------------------------------------------------- multi-pass SNM
+
+  /** The reference's multi-pass SNM with a composite second key
+    * (null-propagating, `CompositeValue.java:71-77`): union of passes,
+    * cross-pass distinct.
+    */
+  def snmMultipass(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer")
+    val p1 = Blocking.snmPairs(cust, "c_custkey", col("c_name"), Queries.snmWindow)
+    val p2 = Blocking.snmPairs(
+      cust.where(col("c_mktsegment").isNotNull && col("c_acctbal").isNotNull),
+      "c_custkey", struct(col("c_mktsegment"), col("c_acctbal")), Queries.snmWindow)
+    p1.unionAll(p2).distinct()
+  }
+
+  private val snmMultipassSql =
+    s"""WITH b1 AS (
+  SELECT c_custkey AS id, c_name AS key FROM customer WHERE c_name IS NOT NULL),
+l1 AS (
+  SELECT id, lag(id, 1) OVER (ORDER BY key, id) AS p1,
+    lag(id, 2) OVER (ORDER BY key, id) AS p2 FROM b1),
+b2 AS (
+  SELECT c_custkey AS id, c_mktsegment AS k1, c_acctbal AS k2 FROM customer
+  WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL),
+l2 AS (
+  SELECT id, lag(id, 1) OVER (ORDER BY k1, k2, id) AS p1,
+    lag(id, 2) OVER (ORDER BY k1, k2, id) AS p2 FROM b2),
+u AS (
+  SELECT id, p1 AS p FROM l1 UNION ALL SELECT id, p2 FROM l1
+  UNION ALL SELECT id, p1 FROM l2 UNION ALL SELECT id, p2 FROM l2)
+SELECT DISTINCT least(id, p) AS id1, greatest(id, p) AS id2 FROM u WHERE p IS NOT NULL"""
+
+  // ------------------------------------------------------ event windows
+
+  /** Hourly tumbling-window aggregation over the events stream table (the
+    * batch form of the Structured Streaming windowed agg). Sums cast to
+    * float: double summation order is engine-dependent, float rounding is
+    * not.
+    */
+  def evHourly(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        sum(col("value")).cast("float").as("sum_value"))
+
+  private val evHourlySql =
+    """SELECT user_id, date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, min(value) AS min_value, max(value) AS max_value,
+       sum(value)::FLOAT AS sum_value
+       FROM events GROUP BY 1, 2, 3"""
+
+  // ------------------------------------------------------- multimodal
+
+  /** Real binary decode (JDK ImageIO) over a generated image table:
+    * per-format decode stats. Rows-only check (no SQL analog of a JPEG
+    * decoder); determinism is asserted in MultimodalSpec.
+    */
+  def mmStats(spark: SparkSession, dir: String): DataFrame = {
+    val images = graft.gen.ImageGen.asImages(
+      graft.gen.ImageGen.generate(spark, 400L, seed = 7L, partitions = 8)).toDF()
+    Multimodal.formatStats(Multimodal.decodeFeatures(images))
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_topk" -> (annTopK _),
+    "ann_lsh" -> (annLsh _),
+    "emb_pairs" -> (embPairs _),
+    "ta_langid" -> (taLangid _),
+    "ta_quality" -> (taQuality _),
+    "ta_fingerprint" -> (taFingerprint _),
+    "classify_rules" -> (classifyRules _),
+    "fuse_canonical" -> (fuseCanonical _),
+    "sim_measures" -> (simMeasures _),
+    "snm_multipass" -> (snmMultipass _),
+    "ev_hourly" -> (evHourly _),
+    "mm_stats" -> (mmStats _))
+
+  val oracles: Map[String, String] = Map(
+    "ann_topk" -> annTopKSql,
+    "emb_pairs" -> embPairsSql,
+    "ta_langid" -> taLangidSql,
+    "ta_quality" -> taQualitySql,
+    "ta_fingerprint" -> taFingerprintSql,
+    "classify_rules" -> classifyRulesSql,
+    "fuse_canonical" -> fuseCanonicalSql,
+    "sim_measures" -> simMeasuresSql,
+    "snm_multipass" -> snmMultipassSql,
+    "ev_hourly" -> evHourlySql)
+}

@@ -131,16 +131,20 @@ cands AS (
   FROM bkeys a JOIN bkeys b ON a.key = b.key AND a.doc_id < b.doc_id)"""
   }
 
-  /** Recursive-CTE connected components over a pair CTE `pairs(id1, id2)`:
-    * (doc_id, cluster_id = min reachable id), singletons included.
+  /** Recursive CTEs for connected components over a pair CTE
+    * `pairs(id1, id2)`: produces CTE `cc(doc_id, cluster_id = min reachable
+    * id)`, singletons included.
     */
-  def ccSql: String =
+  def ccCte: String =
     """edges AS (
   SELECT id1 AS a, id2 AS b FROM pairs
   UNION ALL SELECT id2, id1 FROM pairs),
 reach(n, r) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
-  SELECT reach.n, e.b FROM reach JOIN edges e ON e.a = reach.r)
-SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1"""
+  SELECT reach.n, e.b FROM reach JOIN edges e ON e.a = reach.r),
+cc AS (SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)"""
+
+  def ccSql: String =
+    ccCte + "\nSELECT doc_id, cluster_id FROM cc"
 }

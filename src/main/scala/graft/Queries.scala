@@ -46,6 +46,32 @@ object Queries {
     docNorm(spark, dir)
       .select(col("doc_id").as("id"), Signatures.shinglesCol(col("norm"), lshCfg.shingleK).as("shs"))
 
+  /** Exact Jaccard pairs from an inverted index WITHOUT shipping shingle
+    * arrays: pair rows per key, count shared keys per pair (|∩|), join the
+    * per-id set sizes. Bit-identical to the array form (same integer
+    * counts, same division) at a fraction of the shuffle volume — pair rows
+    * carry only two ids.
+    */
+  def jaccardFromInvertedIndex(keyed: DataFrame, t: Double): DataFrame = {
+    val ids = col("ids")
+    val pairs = flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), greatest(size(ids) - i - 1, lit(0))), y =>
+        struct(least(x, y).as("id1"), greatest(x, y).as("id2")))))
+    val inter = keyed.groupBy("key").agg(collect_list(col("id")).as("ids"))
+      .where(size(ids) >= 2)
+      .select(explode(pairs).as("p"))
+      .select(col("p.id1"), col("p.id2"))
+      .where(col("id1") =!= col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("c"))
+    val cnt = keyed.groupBy("id").agg(count(lit(1)).as("n"))
+    inter
+      .join(cnt.select(col("id").as("id1"), col("n").as("n1")), Seq("id1"))
+      .join(cnt.select(col("id").as("id2"), col("n").as("n2")), Seq("id2"))
+      .withColumn("jaccard", col("c").cast("double") / (col("n1") + col("n2") - col("c")))
+      .where(col("jaccard") >= t)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
   /** Exact Jaccard verification of candidate pairs against per-id distinct
     * shingle arrays — the pairwise classification stage
     * (ref `CommonSimilarityMeasures.jaccard`, :88-93; SURVEY.md §2.4).
@@ -82,7 +108,7 @@ object Queries {
   def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val shs = docWordShingles(spark, dir)
     val keyed = shs.select(col("id"), explode(col("shs")).as("key"))
-    jaccardVerify(Blocking.pairsFromKeys(keyed), shs, ngramJaccardT)
+    jaccardFromInvertedIndex(keyed, ngramJaccardT)
   }
 
   private val ddNgramJaccardSql =
@@ -228,7 +254,7 @@ ${OracleGen.ccSql}"""
 
   // ------------------------------------------------------------ registry
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val all: Map[String, (SparkSession, String) => DataFrame] = ExtQueries.all ++ Map(
     "dd_exact" -> (ddExact _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
@@ -239,7 +265,7 @@ ${OracleGen.ccSql}"""
     "ta_tokens" -> (taTokens _),
     "q1_agg" -> (q1Agg _))
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = ExtQueries.oracles ++ Map(
     "dd_exact" -> ddExactSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,

@@ -39,7 +39,7 @@ object Pipeline {
                               confidence: Double, explanation: String)
 
   final case class Member(cluster_id: String, id: String, norm: String,
-                          shs: Seq[String], phash: Long, simhash: Long)
+                          shs: Seq[Long], phash: Long, simhash: Long)
 
   final case class EdgeW(cluster_id: String, id1: String, id2: String, w: Double)
 
@@ -47,7 +47,13 @@ object Pipeline {
                              caption: String, fmt: String, w: Int, h: Int,
                              phash: Long, fuse_errors: Seq[String])
 
-  /** Stage 1: feature projection (column-pruned: bytes untouched). */
+  /** Stage 1: feature projection (column-pruned: bytes read once for the
+    * content hash, never again). Shingles are carried as 60-bit hashes, not
+    * strings — Jaccard on hashed shingles is identical modulo ~2^-60
+    * collisions, at a fraction of the shuffle bytes, and the hash is the
+    * shared oracle kernel (Signatures.hash60) so the naive oracle mirrors
+    * it exactly.
+    */
   def features(images: DataFrame, cfg: DedupConfig): DataFrame = {
     val norm = Signatures.normalizeCol(col("caption"))
     images.select(
@@ -55,7 +61,9 @@ object Pipeline {
       norm.as("norm"),
       col("phash"),
       md5(col("bytes")).as("chash"))
-      .withColumn("shs", Signatures.shinglesCol(col("norm"), cfg.shingleK))
+      .withColumn("shs",
+        transform(Signatures.shinglesCol(col("norm"), cfg.shingleK),
+          s => Signatures.hash60Col(s)))
       .withColumn("simhash", Signatures.simHashCol(Signatures.wordsCol(col("norm")), cfg.simhashBits))
   }
 
@@ -70,8 +78,10 @@ object Pipeline {
       feats, "id", "simhash", cfg.simhashBits / cfg.simhashBandBits, cfg.simhashBits, cap)
     val ph = Blocking.bitBlockPairs(feats, "id", "phash", cfg.phashBlocks, 64, cap)
     val sub = Blocking.substringPairs(feats, "id", "norm", cfg.shingleK + 3, cap)
-    val exact = Blocking.pairsFromKeys(
-      feats.select(col("id"), col("chash").as("key")), None)
+    // exact-content buckets star to their min id: same clusters, n-1 edges
+    // per bucket instead of C(n,2) (a 2500-copy cluster: 2.5k vs 3.1M pairs)
+    val exact = Blocking.starPairsFromKeys(
+      feats.select(col("id"), col("chash").as("key")))
     lsh.unionAll(sim).unionAll(ph).unionAll(sub).unionAll(exact)
       .dropDuplicates("id1", "id2")
   }

@@ -46,6 +46,12 @@ object Classifier {
   def negativeRule(name: String, negSim: Column): Column =
     when(negSim > 0, result(NonDuplicate, negSim, name))
 
+  /** Possible-duplicate rule: fires as POSSIBLE_DUPLICATE for a downstream
+    * policy rewrite (ref `Classification.java:40-47`).
+    */
+  def possibleRule(name: String, sim: Column): Column =
+    when(sim > 0, result(PossibleDuplicate, sim, name))
+
   /** Precondition wrapper (:280-285): predicate false => does not apply. */
   def conditionalRule(pred: Column, rule: Column): Column = when(pred, rule)
 

@@ -25,7 +25,12 @@ object ConnectedComponents {
     * @return DataFrame (id, cluster_id) for every node incident to an edge;
     *         callers union isolated records back as singletons.
     */
-  def run(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+  /** @param minIter rounds to run before paying for convergence checks —
+    *        dedup graphs virtually always converge within 3 alternating
+    *        rounds (dense near-cliques); checking earlier costs one driver
+    *        action per round on small data where action latency dominates
+    */
+  def run(edges: DataFrame, maxIter: Int = 30, minIter: Int = 3): DataFrame = {
     val spark = edges.sparkSession
     val Seq(srcC, dstC) = edges.columns.toSeq.take(2)
     // canonical undirected edge set, u > v convention dropped; keep (u, v) pairs u != v
@@ -43,7 +48,7 @@ object ConnectedComponents {
       count(lit(1)).as("n"),
       coalesce(expr("bit_xor(xxhash64(cast(u as string), cast(v as string)))"), lit(0L)).as("h"))
       .head()
-    var prevSig = sigOf(e)
+    var prevSig: org.apache.spark.sql.Row = null
     while (!converged && iter < maxIter) {
       // ---- large-star: for each u, connect every neighbor v > u to
       //      m = min(N(u) ∪ {u})
@@ -70,9 +75,11 @@ object ConnectedComponents {
         .distinct()
         .localCheckpoint()
 
-      val sig = sigOf(small)
-      converged = sig == prevSig
-      prevSig = sig
+      if (iter >= minIter - 1) {
+        val sig = sigOf(small)
+        converged = sig == prevSig
+        prevSig = sig
+      }
       e = small
       iter += 1
     }

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.sig.Signatures
+
+/** Similarity search over an embedding column (Array[Float]) — the
+  * training-data-pipeline extension: brute-force cosine as the exact
+  * baseline, sign-random-projection LSH bucketing as the scale path.
+  *
+  * Cosine is computed with `zip_with` + `aggregate` (codegen'd Catalyst
+  * exprs, double accumulation in index order — bit-identical to a
+  * sequential fold, which is what the DuckDB oracle computes).
+  */
+object Embeddings {
+
+  /** dot(a, b) as a left-fold in double — no UDF. */
+  def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def cosineCol(a: Column, b: Column): Column =
+    dotCol(a, b) / (sqrt(dotCol(a, a)) * sqrt(dotCol(b, b)))
+
+  /** Exact top-k neighbors by cosine for a set of query vectors.
+    * Plan shape: broadcast the (small) query side, one shuffle for the
+    * per-query top-k window. Deterministic ordering: (cos desc, id asc).
+    */
+  def topK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val v = vectors.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+    val scored = v.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineCol(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** All pairs with cosine >= threshold (exact, for moderate n; the LSH
+    * variant bounds candidates at scale).
+    */
+  def thresholdPairs(vectors: DataFrame, threshold: Double): DataFrame = {
+    val a = vectors.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+    val b = vectors.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("cosine", cosineCol(col("v1"), col("v2")))
+      .where(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), col("cosine"))
+  }
+
+  /** Sign-random-projection LSH: `bits` pseudo-random ±1 hyperplanes
+    * (derived from hash60(seed:bit:dim) parity — deterministic, no stored
+    * model), bucketed by the sign vector split into bands. Candidates =
+    * same (band, value); verify with exact cosine. Scale path: one shuffle
+    * on band keys, quadratic only within buckets.
+    */
+  def lshBuckets(vectors: DataFrame, dim: Int, bits: Int, bands: Int, seed: Long): DataFrame = {
+    val planes: Array[Array[Double]] = Array.tabulate(bits, dim)((b, d) =>
+      if ((Signatures.hash60(s"srp:$seed:$b:$d") & 1L) == 1L) 1.0 else -1.0)
+    val sig = udf((v: Seq[Float]) => {
+      var out = 0L
+      var b = 0
+      while (b < bits) {
+        var acc = 0.0
+        var d = 0
+        val p = planes(b)
+        while (d < v.length && d < dim) { acc += p(d) * v(d); d += 1 }
+        if (acc > 0) out |= (1L << b)
+        b += 1
+      }
+      out
+    })
+    vectors.withColumn("srp", sig(col("embedding")))
+      .select(col("vec_id"), col("embedding"),
+        explode(Signatures.bitBlockKeysCol(col("srp"), bands, bits)).as("bucket"))
+  }
+
+  /** Approximate threshold pairs via SRP-LSH bucketing + exact verify.
+    * Band geometry must match the target similarity: P(bit agree) =
+    * 1 - θ/π, so a cosine-0.4 target (θ≈66°, p≈0.63) needs SHORT bands —
+    * 8 bands x 2 bits gives 1-(1-p²)⁸ ≈ 0.98 recall; 4-bit bands would
+    * halve it. Steeper thresholds (0.9+) afford longer bands and far
+    * smaller buckets; the bucket cap bounds the quadratic pairing either
+    * way.
+    */
+  def lshThresholdPairs(vectors: DataFrame, dim: Int, threshold: Double,
+                        bits: Int = 16, bands: Int = 8, seed: Long = 42L): DataFrame = {
+    val keyed = lshBuckets(vectors, dim, bits, bands, seed)
+      .select(col("vec_id").as("id"), col("bucket").as("key"))
+    val cands = graft.block.Blocking.pairsFromKeys(keyed, Some(2000))
+    val a = vectors.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+    val b = vectors.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+    cands.join(a, Seq("id1")).join(b, Seq("id2"))
+      .withColumn("cosine", cosineCol(col("v1"), col("v2")))
+      .where(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), col("cosine"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.gen.ImageGen
+
+/** Multimodal (binary-payload) operators: decode / feature-extract /
+  * resize-sample over an opaque `bytes` column with typed metadata — the
+  * Spark-side plumbing a 100 TB image pipeline needs.
+  *
+  * Decoding is REAL (JDK ImageIO: png/bmp/jpeg), not stubbed — batched per
+  * partition (`mapPartitions`, the JVM analog of `mapInPandas` batch
+  * shape), so decoder setup amortizes and the binary column never shuffles:
+  * decode happens in the scan stage, only small features leave it.
+  */
+object Multimodal {
+
+  final case class ImageFeatures(
+      image_id: String, fmt: String, w: Int, h: Int,
+      decode_ok: Boolean, mean_luma: Double, phash64: Long, thumb8: Array[Byte])
+
+  /** Decode + per-image features. Input needs (image_id, bytes, fmt). */
+  def decodeFeatures(images: DataFrame): Dataset[ImageFeatures] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select(col("image_id"), col("fmt"), col("bytes"))
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, fmt, bytes) =>
+          try {
+            val (w, h, px) = ImageGen.decode(bytes)
+            var luma = 0.0
+            var i = 0
+            while (i < px.length) {
+              val p = px(i)
+              luma += 0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) + 0.114 * (p & 0xFF)
+              i += 1
+            }
+            // 8x8 grayscale thumbnail ("resize" output kept tiny and typed)
+            val thumb = new Array[Byte](64)
+            val cell = new Array[Double](64)
+            val cnt = new Array[Int](64)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = px(y * w + x)
+                val g = 0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) + 0.114 * (p & 0xFF)
+                val c = (y * 8 / h) * 8 + (x * 8 / w)
+                cell(c) += g; cnt(c) += 1
+                x += 1
+              }
+              y += 1
+            }
+            var c = 0
+            while (c < 64) { thumb(c) = (cell(c) / math.max(cnt(c), 1)).toByte; c += 1 }
+            ImageFeatures(id, fmt, w, h, decode_ok = true, luma / px.length,
+              ImageGen.averageHash(px, w, h), thumb)
+          } catch {
+            case _: Throwable =>
+              ImageFeatures(id, fmt, -1, -1, decode_ok = false, 0.0, 0L, Array.empty)
+          }
+        }
+      }
+  }
+
+  /** Aggregate decode statistics per format — the pipeline health check. */
+  def formatStats(feats: Dataset[ImageFeatures]): DataFrame =
+    feats.toDF().groupBy(col("fmt")).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("decode_ok"), 1L).otherwise(0L)).as("n_ok"),
+      min(col("w")).as("min_w"), max(col("w")).as("max_w"),
+      avg(col("mean_luma")).as("avg_luma"))
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.sig.Signatures
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language-ID heuristic, quality scoring, token counting, document
+  * fingerprinting. All pure Catalyst expressions (codegen'd, SQL-mirrorable
+  * for the DuckDB oracle).
+  */
+object TextAnalysis {
+
+  /** Stopword marker sets per language (tiny n-gram-free heuristic — the
+    * point is the operator shape: filter/size/ratio arithmetic over token
+    * arrays, exactly mirrorable in SQL).
+    */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un"))
+
+  def tokensCol(c: Column): Column = split(Signatures.normalizeCol(c), " ")
+
+  /** Per-language marker ratio + argmax language (tie: lexicographically
+    * first among maxima; below minRatio => "und" undetermined).
+    */
+  def langId(docs: DataFrame, textCol: String, minRatio: Double = 0.03): DataFrame = {
+    val toks = tokensCol(col(textCol))
+    val base = docs.withColumn("_toks", toks)
+      .withColumn("n_tokens", size(col("_toks")))
+    val withRatios = markers.foldLeft(base) { case (df, (lang, ms)) =>
+      df.withColumn(s"r_$lang",
+        size(filter(col("_toks"), t => t.isin(ms: _*))).cast("double") /
+          greatest(col("n_tokens"), lit(1)))
+    }
+    val best = markers.map { case (l, _) => struct(col(s"r_$l").as("r"), lit(l).as("l")) }
+      .reduce((a, b) => when(b.getField("r") > a.getField("r"), b).otherwise(a))
+    withRatios
+      .withColumn("lang_pred", when(best.getField("r") >= minRatio, best.getField("l"))
+        .otherwise(lit("und")))
+      .select((Seq(col("doc_id"), col("n_tokens")) ++
+        markers.map { case (l, _) => col(s"r_$l") } :+ col("lang_pred")): _*)
+  }
+
+  /** Quality scoring: length/punctuation/stopword/repetition signals with a
+    * [0,1] composite — the standard pre-training filter shape.
+    */
+  def quality(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokensCol(t)
+    val stop = markers.flatMap(_._2)
+    docs.select(
+      col("doc_id"),
+      length(t).as("n_chars"),
+      size(toks).as("n_tokens"),
+      (length(t) - length(regexp_replace(t, "[^a-z0-9 ]", ""))).as("n_punct"),
+      size(filter(toks, x => x.isin(stop: _*))).as("n_stop"),
+      size(array_distinct(toks)).as("n_distinct"))
+      .withColumn("punct_ratio", col("n_punct").cast("double") / greatest(col("n_chars"), lit(1)))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / greatest(col("n_tokens"), lit(1)))
+      .withColumn("distinct_ratio", col("n_distinct").cast("double") / greatest(col("n_tokens"), lit(1)))
+      .withColumn("mean_token_len",
+        (col("n_chars") - col("n_tokens") + 1).cast("double") / greatest(col("n_tokens"), lit(1)))
+      .withColumn("quality_ok",
+        col("n_tokens") >= 5 && col("punct_ratio") < 0.3 && col("distinct_ratio") > 0.2)
+  }
+
+  /** Document fingerprints: full-content hash60 of the normalized text plus
+    * a winnowing-style min-shingle fingerprint (min over k-gram hash60s) —
+    * containment-robust near-exact dedup keys.
+    */
+  def fingerprint(docs: DataFrame, textCol: String, k: Int = 8): DataFrame = {
+    val norm = Signatures.normalizeCol(col(textCol))
+    docs.select(col("doc_id"), norm.as("_n"))
+      .withColumn("fp_exact", Signatures.hash60Col(col("_n")))
+      .withColumn("fp_minshingle",
+        array_min(transform(Signatures.shinglesCol(col("_n"), k),
+          s => Signatures.hash60Col(s))))
+      .select(col("doc_id"), col("fp_exact"), col("fp_minshingle"))
+  }
+}

@@ -141,6 +141,33 @@ object Signatures {
     if (shs.isEmpty) Array.fill(n)(0L) else sig
   }
 
+  /** MinHash from pre-hashed (hash60) shingles — identical signatures to
+    * [[minHash]] on the original strings, since that path also reduces via
+    * hash60(sh) mod P first.
+    */
+  def minHashFromHashes(hs: Seq[Long], a: Array[Long], b: Array[Long]): Array[Long] = {
+    val n = a.length
+    val sig = Array.fill(n)(Long.MaxValue)
+    val it = hs.iterator
+    while (it.hasNext) {
+      val h = it.next() % P
+      var i = 0
+      while (i < n) {
+        val v = (a(i) * h + b(i)) % P
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    if (hs.isEmpty) Array.fill(n)(0L) else sig
+  }
+
+  def minHashFromHashesCol(hashedShingles: Column, cfg: DedupConfig): Column = {
+    val a = seedsA(cfg.numHashes, cfg.seed)
+    val b = seedsB(cfg.numHashes, cfg.seed)
+    val f = udf((hs: Seq[Long]) => if (hs == null) null else minHashFromHashes(hs, a, b))
+    f(hashedShingles)
+  }
+
   /** LSH band keys: one string key per band, `band:v1,v2,...,vr` — plain
     * decimal renderings so a SQL oracle can reproduce them with string
     * concatenation of the same integers.

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cluster.ConnectedComponents
+import graft.gen.ImageGen
+import graft.ops.{Embeddings, Multimodal}
+
+/** Specs for connected components (adversarial graphs vs union-find), ANN
+  * recall, and multimodal decode determinism.
+  */
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .appName("ops-spec")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def ufComponents(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map((0L until n.toLong).map(i => i -> i): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    (0L until n.toLong).map(i => i -> find(i)).toMap
+  }
+
+  private def ccOf(edges: Seq[(Long, Long)], n: Int): Map[Long, Long] = {
+    import spark.implicits._
+    val e = edges.toDF("src", "dst")
+    val nodes = (0L until n.toLong).toDF("id")
+    ConnectedComponents.assignAll(nodes, "id", e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("CC matches union-find on a long chain (worst case for label propagation)") {
+    val n = 200
+    val chain = (0L until n - 1L).map(i => (i, i + 1))
+    val got = ccOf(chain, n)
+    assert(got.values.toSet == Set(0L), "single chain must collapse to min id 0")
+  }
+
+  test("CC matches union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    val n = 300
+    val edges = Seq.fill(250)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val got = ccOf(edges, n)
+    val exp = ufComponents(n, edges)
+    // same partition: representative choice is min id in both
+    assert(got == exp)
+  }
+
+  test("CC handles star graphs and isolated nodes") {
+    val star = (1L until 50L).map(i => (0L, i))
+    val got = ccOf(star, 60)
+    assert((0L until 50L).forall(i => got(i) == 0L))
+    assert((50L until 60L).forall(i => got(i) == i), "isolated nodes are singletons")
+  }
+
+  test("SRP-LSH ANN recall >= 0.9 of brute-force threshold pairs") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val exact = Embeddings.thresholdPairs(vecs, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Embeddings.lshThresholdPairs(vecs, 64, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = (approx & exact).size.toDouble / exact.size
+    info(s"exact=${exact.size} approx=${approx.size} recall=$recall")
+    assert(recall >= 0.9, s"SRP-LSH recall $recall")
+    assert(approx.subsetOf(exact), "verified pairs must be exact-threshold pairs")
+  }
+
+  test("multimodal decode: deterministic, correct dims, lossless luma match") {
+    val images = ImageGen.asImages(ImageGen.generate(spark, 200L, seed = 7L, partitions = 4)).toDF()
+    val f1 = Multimodal.decodeFeatures(images).collect().sortBy(_.image_id)
+    val f2 = Multimodal.decodeFeatures(images).collect().sortBy(_.image_id)
+    assert(f1.map(_.phash64).toSeq == f2.map(_.phash64).toSeq)
+    assert(f1.forall(_.decode_ok))
+    // phash from decode matches the generator's phash column for lossless fmts
+    val gen = images.select("image_id", "fmt", "phash").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    f1.foreach { f =>
+      val (fmt, ph) = gen(f.image_id)
+      if (fmt != "jpg") assert(f.phash64 == ph, s"${f.image_id} phash mismatch")
+      else assert(java.lang.Long.bitCount(f.phash64 ^ ph) <= 6,
+        s"${f.image_id} jpg phash drifted ${java.lang.Long.bitCount(f.phash64 ^ ph)}")
+    }
+    assert(f1.forall(f => f.thumb8.length == 64))
+  }
+
+  test("format stats cover all formats with full decode success") {
+    val images = ImageGen.asImages(ImageGen.generate(spark, 200L, seed = 7L, partitions = 4)).toDF()
+    val stats = Multimodal.formatStats(Multimodal.decodeFeatures(images)).collect()
+    assert(stats.map(_.getString(0)).toSet.subsetOf(Set("png", "bmp", "jpg")))
+    stats.foreach(r => assert(r.getLong(1) == r.getLong(2), s"decode failures in ${r.getString(0)}"))
+  }
+}

@@ -33,12 +33,13 @@ class PipelineSpec extends AnyFunSuite {
 
   // ---------------------------------------------------------- naive oracle
 
-  final case class OFeat(id: String, norm: String, shs: Set[String],
+  final case class OFeat(id: String, norm: String, shs: Set[Long],
                          phash: Long, simhash: Long, chash: String)
 
   def oracleFeatures(recs: Seq[ImageGen.GenRecord]): Seq[OFeat] = recs.map { r =>
     val norm = Signatures.normalize(r.caption)
-    OFeat(r.image_id, norm, Signatures.shingles(norm, cfg.shingleK).toSet,
+    OFeat(r.image_id, norm,
+      Signatures.shingles(norm, cfg.shingleK).map(Signatures.hash60).toSet,
       r.phash, Signatures.simHash(Signatures.words(norm), cfg.simhashBits),
       java.security.MessageDigest.getInstance("MD5").digest(r.bytes)
         .map(b => f"$b%02x").mkString)
