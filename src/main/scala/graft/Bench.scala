@@ -23,6 +23,11 @@ object Bench {
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // bench inputs are a few hundred MB of small parquet files — without
+      // these the scan bin-packs into ~3 splits and the whole map side
+      // (md5 + shingle hashing + simhash UDFs) runs near-serial
+      .config("spark.sql.files.maxPartitionBytes", s"${math.max(212 / cores, 4)}m")
+      .config("spark.sql.files.openCostInBytes", "262144")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -72,13 +77,15 @@ object Bench {
 
     // ---- scaling evidence: identical pipeline job at N=8 and 4N=32 cores
     spark.stop()
+    // best-of-2 per level: the sandbox is a microVM on a shared host with
+    // up-to-3x wall-clock noise; min is the standard noise-robust statistic
     val scaling = Seq(8, 32).map { cores =>
       val s = session(cores)
       val warm = ensureInput(s, 2000L)
       val input = ensureInput(s, benchN)
       // warm JVM/codegen once at small n so both levels pay equal warmup
       pipelineRun(s, warm)
-      val t = time(pipelineRun(s, input))
+      val t = math.min(time(pipelineRun(s, input)), time(pipelineRun(s, input)))
       s.stop()
       cores -> (benchN / t, t)
     }.toMap

@@ -363,6 +363,27 @@ SELECT DISTINCT least(id, p) AS id1, greatest(id, p) AS id2 FROM u WHERE p IS NO
        sum(value)::FLOAT AS sum_value
        FROM events GROUP BY 1, 2, 3"""
 
+  /** Materialized last-wins dedup (ref `Deduplication
+    * .materializedDeduplicate`, `core/.../Deduplication.java:86-91`): latest
+    * row per (user_id, event_type), ties broken by event_id for
+    * determinism.
+    */
+  def dedupLastwins(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    table(spark, dir, "events")
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"), col("value"))
+  }
+
+  private val dedupLastwinsSql =
+    """SELECT user_id, event_type, event_id, ts, value FROM (
+       SELECT *, row_number() OVER (
+         PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+       FROM events) WHERE rn = 1"""
+
   // ------------------------------------------------------- multimodal
 
   /** Real binary decode (JDK ImageIO) over a generated image table:
@@ -389,6 +410,7 @@ SELECT DISTINCT least(id, p) AS id1, greatest(id, p) AS id2 FROM u WHERE p IS NO
     "sim_measures" -> (simMeasures _),
     "snm_multipass" -> (snmMultipass _),
     "ev_hourly" -> (evHourly _),
+    "dedup_lastwins" -> (dedupLastwins _),
     "mm_stats" -> (mmStats _))
 
   val oracles: Map[String, String] = Map(
@@ -401,5 +423,6 @@ SELECT DISTINCT least(id, p) AS id1, greatest(id, p) AS id2 FROM u WHERE p IS NO
     "fuse_canonical" -> fuseCanonicalSql,
     "sim_measures" -> simMeasuresSql,
     "snm_multipass" -> snmMultipassSql,
-    "ev_hourly" -> evHourlySql)
+    "ev_hourly" -> evHourlySql,
+    "dedup_lastwins" -> dedupLastwinsSql)
 }

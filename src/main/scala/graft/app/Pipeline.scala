@@ -62,8 +62,8 @@ object Pipeline {
       col("phash"),
       md5(col("bytes")).as("chash"))
       .withColumn("shs",
-        transform(Signatures.shinglesCol(col("norm"), cfg.shingleK),
-          s => Signatures.hash60Col(s)))
+        array_sort(transform(Signatures.shinglesCol(col("norm"), cfg.shingleK),
+          s => Signatures.hash60Col(s))))
       .withColumn("simhash", Signatures.simHashCol(Signatures.wordsCol(col("norm")), cfg.simhashBits))
   }
 
@@ -108,7 +108,7 @@ object Pipeline {
     // boundary — the CASE WHEN cascade references them repeatedly, and
     // CollapseProject would otherwise inline (re-evaluate) the array
     // intersection per reference (measured 3.5x slower)
-    val jac0 = Sims.jaccardArr(col("shs1"), col("shs2"))
+    val jac0 = graft.functions.SortedIntersect.jaccardSorted(col("shs1"), col("shs2"))
     val phSim0 = Sims.hammingSim(64)(col("ph1"), col("ph2"))
     val shSim0 = Sims.hammingSim(cfg.simhashBits)(col("sh1"), col("sh2"))
     val contains0 = (length(col("norm1")) <= length(col("norm2")) &&
@@ -155,8 +155,14 @@ object Pipeline {
     * edges); clusters above `maxRefineSize` pass through (guard, SURVEY.md
     * §7.5 risk 3). Splits only — never merges (§7.1.5).
     */
+  /** @param splitCounter optional accumulator counting split clusters —
+    *        the report-only analog of the reference's ClusterSplitHandler
+    *        veto callback (`core/dedupe/clustering/ClusterSplitHandler
+    *        .java:37-69`; SURVEY.md §2.5: splits logged to metrics)
+    */
   def refine(assign: DataFrame, feats: DataFrame, scored: Dataset[ScoredEdge],
-             cfg: DedupConfig, maxRefineSize: Int = 300): DataFrame = {
+             cfg: DedupConfig, maxRefineSize: Int = 300,
+             splitCounter: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = assign.sparkSession
     import spark.implicits._
 
@@ -204,6 +210,7 @@ object Pipeline {
             cfg.maxSmallClusterSize, seed)
           // new cluster id = min member id per sub-cluster (deterministic)
           val byLabel = mem.indices.groupBy(labels(_))
+          if (byLabel.size > 1) splitCounter.foreach(_.add(1))
           byLabel.iterator.flatMap { case (_, is) =>
             val newId = is.map(mem(_).id).min
             is.iterator.map(i => (mem(i).id, newId))

@@ -91,6 +91,24 @@ object ConnectedComponents {
       .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
   }
 
+  /** Incremental re-clustering: union the previous assignment (as
+    * member->cluster_id star edges) with the new DUPLICATE edges before CC —
+    * previously-emitted clusters stay connected, so their ids remain stable
+    * unless new evidence merges them. This is the batch re-expression of the
+    * reference's ConsistentClustering guarantee
+    * (`common/dedupe/clustering/ConsistentClustering.java:60-116`,
+    * SURVEY.md §2.5): never split an already-emitted cluster.
+    */
+  def incrementalAssign(records: DataFrame, idCol: String,
+                        prevAssign: DataFrame, newEdges: DataFrame): DataFrame = {
+    val prevEdges = prevAssign
+      .select(col("id").as("src"), col("cluster_id").as("dst"))
+      .where(col("src") =!= col("dst"))
+    val Seq(s, d) = newEdges.columns.toSeq.take(2)
+    assignAll(records, idCol,
+      newEdges.select(col(s).as("src"), col(d).as("dst")).unionAll(prevEdges))
+  }
+
   /** Assignment for all records: CC over edges, singletons map to
     * themselves — clusters partition the dataset, matching the reference's
     * contract (`Cluster.java:38-44`, SURVEY.md §7.1.3).

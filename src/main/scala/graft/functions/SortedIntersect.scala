@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.{greatest, lit, size, when}
+import org.apache.spark.sql.types.{DataType, IntegerType}
+
+/** Intersection cardinality of two SORTED long arrays — a native Catalyst
+  * expression (preference order (b) of the build rules: custom Expression
+  * before UDF). `array_intersect` builds a hash set per row and materializes
+  * the intersection array; for the verify hot path we only need |∩| of two
+  * pre-sorted hash60 shingle arrays, which a merge scan computes in O(n+m)
+  * reading primitive longs straight out of ArrayData — no boxing, no
+  * allocation.
+  */
+case class SortedLongIntersectCard(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var c = 0
+    val n = x.numElements(); val m = y.numElements()
+    while (i < n && j < m) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object SortedIntersect {
+
+  import org.apache.spark.sql.GraftColumnBridge
+
+  def card(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SortedLongIntersectCard(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Jaccard over two sorted distinct long arrays: |∩| / |∪| with the exact
+    * same integer counts and IEEE division as the array_intersect form.
+    */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    val c = card(a, b)
+    val u = size(a) + size(b) - c
+    when(a.isNull || b.isNull, lit(null).cast("double"))
+      .otherwise(when(u === 0, 1.0).otherwise(c.cast("double") / u))
+  }
+}

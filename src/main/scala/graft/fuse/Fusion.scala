@@ -124,6 +124,44 @@ object Fusion {
 
   def andThen[T](a: Resolution[T], b: Resolution[T]): Resolution[T] = vs => b(a(vs))
 
+  // ---------------------------------------------------- tagged resolutions
+  // Ref: `TaggedResolution.java:42-58`, `FusionContext.storeValues/
+  // retrieveValues` (`FusionContext.java:42-61`) — resolved values stored
+  // under a tag for cross-field consistency (e.g. pick the nickname from
+  // the same source that won the name).
+
+  /** Per-fusion mutable context threaded through the field folds. */
+  final class FusionContext {
+    val store: scala.collection.mutable.Map[String, Seq[Annotated[_]]] =
+      scala.collection.mutable.Map.empty
+  }
+
+  type CtxResolution[T] = (Seq[Annotated[T]], FusionContext) => Seq[Annotated[T]]
+
+  def lift[T](r: Resolution[T]): CtxResolution[T] = (vs, _) => r(vs)
+
+  /** Run a resolution and store its survivors under `tag` (ref `saveAs`,
+    * `CommonConflictResolutions.java:62-84`).
+    */
+  def saveAs[T](tag: String)(r: Resolution[T]): CtxResolution[T] = (vs, ctx) => {
+    val out = r(vs)
+    ctx.store(tag) = out
+    out
+  }
+
+  /** Keep values whose source matches a source that survived the tagged
+    * resolution (ref `corresponding`, :62-84).
+    */
+  def corresponding[T](tag: String, fallback: Resolution[T] = identity[Seq[Annotated[T]]] _)
+      : CtxResolution[T] = (vs, ctx) =>
+    ctx.store.get(tag) match {
+      case Some(winners) =>
+        val srcs = winners.map(_.source).toSet
+        val matched = vs.filter(a => srcs(a.source))
+        fallback(if (matched.nonEmpty) matched else vs)
+      case None => fallback(vs)
+    }
+
   /** Synthetic lineage for computed values (ref `Source.Calculated`,
     * `Source.java:41-46`).
     */
@@ -141,19 +179,30 @@ object Fusion {
       name: String,
       get: T => V,
       set: (T, V) => T,
-      resolution: Resolution[V],
+      ctxResolution: CtxResolution[V],
       isEmpty: V => Boolean = (v: V) => v == null || v == "") {
 
-    def mergeInto(rec: T, members: Seq[Annotated[T]]): Either[String, T] = {
+    def mergeInto(rec: T, members: Seq[Annotated[T]], ctx: FusionContext): Either[String, T] = {
       val vals = members.map(a => Annotated(get(a.value), a.source, a.sourceWeight, a.ts))
         .filterNot(a => isEmpty(a.value))
-      val survivors = resolution(vals).map(_.value).distinct
+      val survivors = ctxResolution(vals, ctx).map(_.value).distinct
       survivors match {
         case Seq() => Right(rec)
         case Seq(v) => Right(set(rec, v))
         case many => Left(s"$name: ${many.size} irreconcilable values")
       }
     }
+  }
+
+  object FieldMerge {
+    /** Plain (context-free) field fold — the common case. */
+    def apply[T, V](name: String, get: T => V, set: (T, V) => T,
+                    resolution: Resolution[V]): FieldMerge[T, V] =
+      FieldMerge(name, get, set, lift(resolution))
+
+    def apply[T, V](name: String, get: T => V, set: (T, V) => T,
+                    resolution: Resolution[V], isEmpty: V => Boolean): FieldMerge[T, V] =
+      FieldMerge(name, get, set, lift(resolution), isEmpty)
   }
 
   /** Field-wise merge of a cluster's members into one canonical record;
@@ -167,8 +216,9 @@ object Fusion {
       else {
         var rec = members.head.value
         val errors = Seq.newBuilder[String]
+        val ctx = new FusionContext
         fields.foreach { fm =>
-          fm.asInstanceOf[FieldMerge[T, Any]].mergeInto(rec, members) match {
+          fm.asInstanceOf[FieldMerge[T, Any]].mergeInto(rec, members, ctx) match {
             case Right(r) => rec = r
             case Left(e) => errors += e
           }

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the package-private Column<->Expression converters (Spark 4
+  * moved the public `new Column(expr)` constructor behind
+  * `classic.ExpressionUtils`, which is private[sql]). Standard pattern for
+  * libraries contributing native Catalyst expressions.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

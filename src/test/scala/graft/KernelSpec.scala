@@ -224,14 +224,41 @@ class KernelSpec extends AnyFunSuite {
       .map(_.value) == Seq("a"))
   }
 
+  test("tagged resolutions: corresponding picks from the winning source (TaggedResolution.java:42-58)") {
+    import graft.fuse.Fusion._
+    case class P(name: String, nick: String)
+    val merge = Merge[P](Seq(
+      FieldMerge[P, String]("name", _.name, (p, v) => p.copy(name = v),
+        saveAs("nameTag")(andThen(longest, first)), (v: String) => v == null || v == ""),
+      FieldMerge[P, String]("nick", _.nick, (p, v) => p.copy(nick = v),
+        corresponding[String]("nameTag", first), (v: String) => v == null || v == "")))
+    val out = merge.fuse(Seq(
+      Annotated(P("Jo", "JJ"), "s1", 1.0, 1L),
+      Annotated(P("Joanna", "Anni"), "s2", 1.0, 2L)))
+    // s2 wins the name (longest) => nick must come from s2 too
+    assert(out._1 == P("Joanna", "Anni") && out._2.isEmpty)
+  }
+
+  test("phonetic codecs encode deterministically and compose with equality") {
+    import graft.similarity.Phonetics
+    // value-level check through commons-codec directly (the Column wrappers
+    // delegate to the same encoders)
+    val cologne = new org.apache.commons.codec.language.ColognePhonetic()
+    assert(cologne.encode("Mueller") == cologne.encode("Mueller"))
+    assert(cologne.encode("Meyer") == cologne.encode("Meier"), "cologne should equate Meyer/Meier")
+    val bm = new org.apache.commons.codec.language.bm.BeiderMorseEncoder()
+    assert(bm.encode("Schmidt").nonEmpty)
+    assert(Phonetics.phoneticEq(Phonetics.cologne) != null)
+  }
+
   test("merge: fuses conflicting records field-wise, captures failures (ConflictResolutionsTest.java:75-122)") {
     import graft.fuse.Fusion._
     case class P(name: String, gender: String, age: Double)
     val merge = Merge[P](Seq(
       FieldMerge[P, String]("name", _.name, (p, v) => p.copy(name = v), andThen(longest, first)),
-      FieldMerge[P, String]("gender", _.gender, (p, v) => p.copy(gender = v), assumeEqual),
+      FieldMerge[P, String]("gender", _.gender, (p, v) => p.copy(gender = v), assumeEqual[String]),
       FieldMerge[P, Double]("age", _.age.asInstanceOf[Double], (p, v) => p.copy(age = v), mean,
-        isEmpty = _ == null)))
+        (v: Double) => false)))
     val ok = merge.fuse(Seq(
       Annotated(P("Jo", "f", 30), "s1", 1.0, 1L),
       Annotated(P("Joanna", "f", 34), "s2", 1.0, 2L)))

@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.app.Checkpoints
+import graft.cluster.ConnectedComponents
+import graft.gen.ImageGen
+import graft.model.DedupConfig
+import graft.streaming.StreamingDedup
+
+/** Checkpoint/resume, incremental (consistent) clustering, and Structured
+  * Streaming specs.
+  */
+class ResumeStreamSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .appName("resume-stream-spec")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("checkpointed run is resumable: later stages recompute, finished stages load") {
+    val work = tmpDir("graft-cp")
+    val images = ImageGen.asImages(ImageGen.generate(spark, 500L, 42L, 8)).toDF()
+      .cache()
+    val cfg = DedupConfig()
+    val out1 = Checkpoints.runCheckpointed(spark, images, work, cfg)
+      .collect().map(r => (r.getString(0), r.getString(2))).sorted
+
+    val cp = new Checkpoints(spark, work)
+    assert(Seq("01_features", "02_candidates", "03_scored", "04_assign_tc",
+      "05_assign_refined", "06_canonical").forall(cp.isComplete))
+    // metrics sidecar carries per-partition lineage
+    val m = cp.metrics("03_scored").get
+    assert(m.contains("\"partitions\":[") && m.contains("\"rows\":"))
+
+    // crash simulation: delete the last two stages; earlier checkpoints
+    // must be loaded, not recomputed (detected via mtime stability)
+    def mtime(s: String) = Files.getLastModifiedTime(Paths.get(s"$work/$s/_SUCCESS")).toMillis
+    val featsT = mtime("01_features"); val scoredT = mtime("03_scored")
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(s"$work/05_assign_refined")).deleteRecursively()
+    new Directory(new java.io.File(s"$work/06_canonical")).deleteRecursively()
+
+    val out2 = Checkpoints.runCheckpointed(spark, images, work, cfg)
+      .collect().map(r => (r.getString(0), r.getString(2))).sorted
+    assert(out1.toSeq == out2.toSeq, "resumed run must reproduce the output")
+    assert(mtime("01_features") == featsT && mtime("03_scored") == scoredT,
+      "completed stages must not be recomputed on resume")
+  }
+
+  test("incremental clustering keeps emitted cluster ids stable and merges on new evidence") {
+    import spark.implicits._
+    val nodes = (0L until 10L).toDF("id")
+    val e1 = Seq((0L, 1L), (2L, 3L)).toDF("src", "dst")
+    val a1 = ConnectedComponents.assignAll(nodes, "id", e1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a1(1L) == 0L && a1(3L) == 2L)
+
+    // new batch: an edge inside cluster {2,3} plus a new pair {4,5};
+    // consistent clustering must keep ids 0 and 2 stable
+    val e2 = Seq((3L, 2L), (4L, 5L)).toDF("src", "dst")
+    val prev = nodes.join(
+      Seq((0L, 0L), (1L, 0L), (2L, 2L), (3L, 2L)).toDF("id", "cluster_id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    val a2 = ConnectedComponents.incrementalAssign(nodes, "id", prev, e2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a2(0L) == 0L && a2(1L) == 0L, "old cluster 0 stable")
+    assert(a2(2L) == 2L && a2(3L) == 2L, "old cluster 2 stable")
+    assert(a2(4L) == 4L && a2(5L) == 4L, "new pair clustered")
+
+    // merging evidence: edge linking the two old clusters -> min id wins,
+    // no split of previously-emitted clusters
+    val e3 = Seq((1L, 2L)).toDF("src", "dst")
+    val a3 = ConnectedComponents.incrementalAssign(nodes, "id", prev, e3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(0L, 1L, 2L, 3L).forall(a3(_) == 0L), "merged cluster takes min id")
+  }
+
+  test("streaming: online first-per-key dedup across micro-batches") {
+    import spark.implicits._
+    val dir = tmpDir("graft-stream-in")
+    val cpDir = tmpDir("graft-stream-cp")
+    // batch 1: keys a,b ; batch 2: duplicate a + new c
+    Seq(("a", "r1"), ("b", "r2")).toDF("key", "id")
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    val stream = spark.readStream
+      .schema("key string, id string")
+      .parquet(dir)
+    val q = StreamingDedup.firstPerKey(stream, "key", "id")
+      .writeStream.outputMode("append").format("memory").queryName("uniq")
+      .option("checkpointLocation", cpDir)
+      .start()
+    q.processAllAvailable()
+    Seq(("a", "r3"), ("c", "r4")).toDF("key", "id")
+      .coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("uniq").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.keySet == Set("a", "b", "c"))
+    assert(got("a") == "r1", "first arrival must win across micro-batches")
+    assert(got("c") == "r4")
+  }
+
+  test("streaming: watermarked windowed aggregation over the events table") {
+    val dir = tmpDir("graft-stream-ev")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .parquet(dir)
+    val q = StreamingDedup.windowedCounts(stream, "ts", "event_type")
+      .writeStream.outputMode("append").format("memory").queryName("winagg")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // append mode emits only watermark-closed windows; the real assertion
+    // is that the streaming plan runs end-to-end and state checkpoints
+    assert(spark.table("winagg").columns.toSeq ==
+      Seq("window", "event_type", "n", "total"))
+  }
+}
