@@ -363,6 +363,59 @@ SELECT DISTINCT least(id, p) AS id1, greatest(id, p) AS id2 FROM u WHERE p IS NO
        sum(value)::FLOAT AS sum_value
        FROM events GROUP BY 1, 2, 3"""
 
+  /** Refinement over the cc_clusters partition: per-cluster exact/greedy
+    * re-partition with jaccard-derived signed weights (the RefineCluster
+    * port running in a cogroup). The planted near-dup clusters are
+    * all-positive-weight cliques, so refinement must keep them whole —
+    * the oracle is therefore the CC oracle itself, and any spurious split
+    * fails the hash compare.
+    */
+  def refineClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Queries.ngramJaccardT
+    val assign = Queries.ccClusters(spark, dir).toDF("doc_id", "cluster_id")
+    val feats = table(spark, dir, "documents").select(col("doc_id"),
+      transform(Signatures.wordNgramsCol(Signatures.normalizeCol(col("text")), Queries.ngramN),
+        s => Signatures.hash60Col(s)).as("shs"))
+    val scored = Queries.ddNgramJaccard(spark, dir)
+      .select(col("id1"), col("id2"), col("jaccard"))
+
+    val members = assign.join(feats, Seq("doc_id"))
+      .select(col("cluster_id"), col("doc_id"), col("shs"))
+      .as[(Long, Long, Seq[Long])]
+    val edges = scored.withColumnRenamed("id1", "doc_id")
+      .join(assign, Seq("doc_id"))
+      .select(col("cluster_id"), col("doc_id").as("id1"), col("id2"), col("jaccard"))
+      .as[(Long, Long, Long, Double)]
+
+    members.groupByKey(_._1).cogroup(edges.groupByKey(_._1)) { (cid, ms, es) =>
+      val mem = ms.toArray.sortBy(_._2)
+      if (mem.length <= 2) mem.iterator.map(m => (m._2, cid))
+      else {
+        val idx = mem.iterator.map(_._2).zipWithIndex.toMap
+        val known = es.flatMap { e =>
+          for (i <- idx.get(e._2); j <- idx.get(e._3))
+            yield graft.cluster.Refine.WEdge.of(i, j,
+              if (e._4 >= t) (e._4 - t) / (1 - t) else -(t - e._4) / t)
+        }.toList
+        def classify(i: Int, j: Int): Double = {
+          val a = mem(i)._3.toSet; val b = mem(j)._3.toSet
+          val u = (a ++ b).size
+          val jac = if (u == 0) 1.0 else (a & b).size.toDouble / u
+          if (jac >= t) (jac - t) / (1 - t) else -(t - jac) / t
+        }
+        val labels = graft.cluster.Refine.refineCluster(
+          mem.length, known, classify, maxSmall = 10,
+          seed = Signatures.hash60(cid.toString))
+        val byLabel = mem.indices.groupBy(labels(_))
+        byLabel.iterator.flatMap { case (_, is) =>
+          val newId = is.map(mem(_)._2).min
+          is.iterator.map(i => (mem(i)._2, newId))
+        }
+      }
+    }.toDF("doc_id", "cluster_id")
+  }
+
   /** Materialized last-wins dedup (ref `Deduplication
     * .materializedDeduplicate`, `core/.../Deduplication.java:86-91`): latest
     * row per (user_id, event_type), ties broken by event_id for
@@ -410,6 +463,7 @@ SELECT DISTINCT least(id, p) AS id1, greatest(id, p) AS id2 FROM u WHERE p IS NO
     "sim_measures" -> (simMeasures _),
     "snm_multipass" -> (snmMultipass _),
     "ev_hourly" -> (evHourly _),
+    "refine_clusters" -> (refineClusters _),
     "dedup_lastwins" -> (dedupLastwins _),
     "mm_stats" -> (mmStats _))
 
@@ -424,5 +478,10 @@ SELECT DISTINCT least(id, p) AS id1, greatest(id, p) AS id2 FROM u WHERE p IS NO
     "sim_measures" -> simMeasuresSql,
     "snm_multipass" -> snmMultipassSql,
     "ev_hourly" -> evHourlySql,
+    "refine_clusters" -> (s"""WITH RECURSIVE ${OracleGen.nrmCte},
+${OracleGen.wordNgramCtes(Queries.ngramN)},
+${OracleGen.invertedIndexCandsCte},
+${OracleGen.jaccardPairsCte(Queries.ngramJaccardT)},
+${OracleGen.ccSql}"""),
     "dedup_lastwins" -> dedupLastwinsSql)
 }

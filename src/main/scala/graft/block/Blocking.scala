@@ -56,6 +56,20 @@ object Blocking {
       .distinct()
   }
 
+  /** Skew observability: per-pass bucket statistics — how many keys, how
+    * many buckets the cap drops, and how many within-bucket pairs that
+    * forfeits (the "dropped pairs counted in metrics" requirement;
+    * SURVEY.md §7.5 risk 2).
+    */
+  def bucketStats(keyed: DataFrame, cap: Int): DataFrame =
+    keyed.groupBy("key").agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("n") > cap, 1L).otherwise(0L)).as("n_dropped_buckets"),
+        sum(when(col("n") > cap, (col("n") * (col("n") - 1) / 2).cast("long")).otherwise(0L))
+          .as("pairs_dropped"),
+        max(col("n")).as("max_bucket"))
+
   /** Star pairing for keys whose equality PROVES duplication (exact content
     * hash): emit (min_id, other) per bucket instead of all C(n,2) pairs —
     * transitive closure yields the identical cluster from n-1 edges. A

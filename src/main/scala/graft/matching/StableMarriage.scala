@@ -34,17 +34,38 @@ object StableMarriage {
     out
   }
 
-  /** Weakly stable matching: Gale-Shapley with ties broken arbitrarily
-    * (deterministically: first-listed). Returns matched (l, r) pairs.
+  /** Weakly stable matching from symmetric edge weights: Gale-Shapley with
+    * ties broken arbitrarily (deterministically: first-listed). Returns
+    * matched (l, r) pairs.
     */
   def weaklyStable(nLeft: Int, nRight: Int, edges: Seq[E]): Seq[(Int, Int)] = {
-    // flatten tiers to strict preference lists, ties in stable input order
     val prefL = rankings(nLeft, edges, byLeft = true).map(_.flatten)
     val rankR = Array.fill(nRight)(mutable.Map.empty[Int, Int])
     rankings(nRight, edges, byLeft = false).zipWithIndex.foreach { case (tiers, r) =>
       var rank = 0
       tiers.foreach { tier => tier.foreach { l => rankR(r)(l) = rank }; rank += 1 }
     }
+    weaklyStableCore(nLeft, nRight, prefL, rankR)
+  }
+
+  /** Weakly stable matching from explicit per-side tiered rankings (the
+    * reference's `WeakMatcher` entry, asymmetric preferences allowed —
+    * `WeaklyStableMarriageTest` fixtures use strict singleton tiers).
+    */
+  def weaklyStableRanked(prefLTiers: Seq[Seq[Seq[Int]]],
+                         prefRTiers: Seq[Seq[Seq[Int]]]): Seq[(Int, Int)] = {
+    val nLeft = prefLTiers.size; val nRight = prefRTiers.size
+    val prefL = prefLTiers.map(_.flatten.toList).toArray
+    val rankR = Array.fill(nRight)(mutable.Map.empty[Int, Int])
+    prefRTiers.zipWithIndex.foreach { case (tiers, r) =>
+      tiers.zipWithIndex.foreach { case (tier, rank) => tier.foreach(l => rankR(r)(l) = rank) }
+    }
+    weaklyStableCore(nLeft, nRight, prefL, rankR)
+  }
+
+  private def weaklyStableCore(nLeft: Int, nRight: Int,
+                               prefL: Array[List[Int]],
+                               rankR: Array[mutable.Map[Int, Int]]): Seq[(Int, Int)] = {
     val next = Array.fill(nLeft)(0)
     val matchR = Array.fill(nRight)(-1)
     val free = mutable.Queue(0 until nLeft: _*)
@@ -53,13 +74,43 @@ object StableMarriage {
       if (next(l) < prefL(l).length) {
         val r = prefL(l)(next(l))
         next(l) += 1
-        if (matchR(r) < 0) matchR(r) = l
-        else if (rankR(r).getOrElse(l, Int.MaxValue) < rankR(r).getOrElse(matchR(r), Int.MaxValue)) {
+        if (!rankR(r).contains(l)) free.enqueue(l) // unacceptable partner
+        else if (matchR(r) < 0) matchR(r) = l
+        else if (rankR(r)(l) < rankR(r).getOrElse(matchR(r), Int.MaxValue)) {
           free.enqueue(matchR(r)); matchR(r) = l
         } else free.enqueue(l)
       }
     }
     (0 until nRight).collect { case r if matchR(r) >= 0 => (matchR(r), r) }
+  }
+
+  /** Strongly stable matching from explicit per-side tiered rankings (the
+    * reference's `StrongMatcher` entry; `StronglyStableMarriageTest`
+    * fixtures). Tier index becomes a descending weight.
+    */
+  def stronglyStableRanked(prefLTiers: Seq[Seq[Seq[Int]]],
+                           prefRTiers: Seq[Seq[Seq[Int]]]): Seq[(Int, Int)] = {
+    val edgesL = for {
+      (tiers, l) <- prefLTiers.zipWithIndex
+      (tier, rank) <- tiers.zipWithIndex
+      r <- tier
+    } yield (l, r, -rank.toDouble)
+    val rankRMap = (for {
+      (tiers, r) <- prefRTiers.zipWithIndex
+      (tier, rank) <- tiers.zipWithIndex
+      l <- tier
+    } yield (r, l, -rank.toDouble)).groupBy(_._1)
+      .view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    // acceptability must be mutual: keep edges present on both sides
+    val edges = edgesL.collect {
+      case (l, r, w) if rankRMap.get(r).exists(_.contains(l)) =>
+        // encode left preference in the shared weight; right preference is
+        // installed below by overriding rankR
+        E(l, r, w)
+    }
+    val nLeft = prefLTiers.size; val nRight = prefRTiers.size
+    stronglyStableCore(nLeft, nRight, edges,
+      (r: Int, l: Int) => rankRMap.getOrElse(r, Map.empty).getOrElse(l, Double.NegativeInfinity))
   }
 
   // ------------------------------------------------------- strong stability
@@ -110,11 +161,18 @@ object StableMarriage {
     * unmatched. O(|V|^2.5) per the published bound.
     */
   def stronglyStable(nLeft: Int, nRight: Int, edges: Seq[E]): Seq[(Int, Int)] = {
+    val byEdge = edges.map(e => (e.r, e.l) -> e.w).toMap
+    stronglyStableCore(nLeft, nRight, edges,
+      (r, l) => byEdge.getOrElse((r, l), Double.NegativeInfinity))
+  }
+
+  private def stronglyStableCore(nLeft: Int, nRight: Int, edges: Seq[E],
+                                 rightWeight: (Int, Int) => Double): Seq[(Int, Int)] = {
     // mutable tiered preference structures
     val prefL: Array[mutable.Buffer[mutable.Set[Int]]] =
       rankings(nLeft, edges, byLeft = true).map(_.map(t => mutable.Set(t: _*)).toBuffer)
     val rankR = Array.fill(nRight)(mutable.Map.empty[Int, Double])
-    edges.foreach(e => rankR(e.r)(e.l) = e.w)
+    edges.foreach(e => rankR(e.r)(e.l) = rightWeight(e.r, e.l))
 
     def deleteEdge(l: Int, r: Int): Unit = {
       prefL(l).foreach(_.remove(r)); rankR(r).remove(l)

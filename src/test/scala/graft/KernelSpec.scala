@@ -133,6 +133,26 @@ class KernelSpec extends AnyFunSuite {
     assert(ml.count(_ >= 0) == 2)
   }
 
+  test("strongly stable marriage: reference fixtures (StronglyStableMarriageTest.java:47-116)") {
+    def rk(xs: Int*): Seq[Seq[Int]] = xs.map(Seq(_))
+    val m1 = StableMarriage.stronglyStableRanked(
+      Seq(rk(1, 0, 2, 3), rk(3, 0, 1, 2), rk(0, 2, 1, 3), rk(1, 2, 0, 3)),
+      Seq(rk(0, 2, 1, 3), rk(2, 3, 0, 1), rk(3, 1, 2, 0), rk(2, 1, 0, 3))).toSet
+    assert(m1 == Set((0, 0), (1, 3), (2, 2), (3, 1)))
+    val m2 = StableMarriage.stronglyStableRanked(
+      Seq(rk(3, 0, 1, 2), rk(1, 2, 0, 3), rk(1, 3, 2, 0), rk(2, 0, 3, 1)),
+      Seq(rk(3, 0, 2, 1), rk(0, 2, 1, 3), rk(0, 1, 2, 3), rk(3, 0, 2, 1))).toSet
+    assert(m2 == Set((0, 3), (1, 2), (2, 1), (3, 0)))
+  }
+
+  test("weakly stable marriage: ranked preferences with unacceptable partners") {
+    def rk(xs: Int*): Seq[Seq[Int]] = xs.map(Seq(_))
+    val m = StableMarriage.weaklyStableRanked(
+      Seq(rk(0, 1), rk(0)),
+      Seq(rk(1), rk(0))).toMap // woman 0 only accepts man 1; man 1 only likes woman 0
+    assert(m == Map(0 -> 1, 1 -> 0))
+  }
+
   test("strongly stable marriage on strict preferences matches weak") {
     val edges = Seq(E(0, 0, 1.0), E(0, 1, 0.5), E(1, 0, 0.6), E(1, 1, 0.9))
     val strong = StableMarriage.stronglyStable(2, 2, edges).toMap

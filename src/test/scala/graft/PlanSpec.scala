@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.block.Blocking
+import graft.gen.ImageGen
+import graft.model.DedupConfig
+
+/** Physical-plan quality gates: the properties that matter at 100 TB must
+  * be visible in `explain` — column pruning reaching the parquet scan (the
+  * binary payload must not be read by payload-free stages), codegen spans
+  * around the scoring arithmetic, and skew counters counting what the caps
+  * drop.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("plan-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      // AQE wraps the plan in AdaptiveSparkPlan and hides codegen spans
+      // from the pre-execution explain; disable it so the spec can assert
+      // on the static physical plan
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  lazy val inputPath: String = {
+    val dir = Files.createTempDirectory("graft-plan").toString
+    ImageGen.asImages(ImageGen.generate(spark, 300L, 42L, 4))
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("payload-free projection prunes bytes at the parquet scan") {
+    val images = spark.read.parquet(inputPath)
+    val slim = images.select(col("image_id"), col("caption"), col("fmt"),
+      col("w"), col("h"), col("phash"))
+    val plan = formatted(slim)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("bytes"),
+      s"bytes must be pruned from the scan: $readSchema")
+    assert(readSchema.contains("caption"))
+  }
+
+  test("predicate pushdown reaches the scan") {
+    val images = spark.read.parquet(inputPath).where(col("fmt") === "png")
+      .select(col("image_id"))
+    val plan = formatted(images)
+    assert(plan.contains("PushedFilters") &&
+      plan.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("fmt")),
+      "fmt filter must be pushed to parquet")
+  }
+
+  test("verify stage runs inside whole-stage codegen") {
+    val images = spark.read.parquet(inputPath)
+    val cfg = DedupConfig()
+    val feats = graft.app.Pipeline.features(images, cfg)
+    val cands = graft.app.Pipeline.candidates(feats, cfg)
+    val scored = graft.app.Pipeline.classified(feats, cands, cfg)
+    val plan = formatted(scored.toDF())
+    // formatted mode marks codegen'd operators with '*' / "[codegen id :"
+    assert(plan.contains("[codegen id :") || plan.contains("WholeStageCodegen"),
+      "scoring must be codegen'd")
+    assert(plan.linesIterator.exists(l => l.trim.startsWith("* BroadcastHashJoin") ||
+      l.trim.startsWith("+- * BroadcastHashJoin") || l.contains("* BroadcastHashJoin")),
+      "small feature sides should broadcast into the pair join")
+  }
+
+  test("bucket stats count dropped skew buckets and forfeited pairs") {
+    import spark.implicits._
+    val keyed = (Seq.fill(100)("hot") ++ Seq("a", "a", "b")).zipWithIndex
+      .map { case (k, i) => (i.toString, k) }
+      .toDF("id", "key")
+    val stats = Blocking.bucketStats(keyed, cap = 10).head()
+    assert(stats.getLong(0) == 3)          // buckets: hot, a, b
+    assert(stats.getLong(1) == 1)          // dropped: hot
+    assert(stats.getLong(2) == 100L * 99 / 2) // forfeited pairs
+    assert(stats.getLong(3) == 100)
+    // and the pairing respects the cap
+    val pairs = Blocking.pairsFromKeys(keyed, Some(10)).count()
+    assert(pairs == 1, "only the a-a pair survives the cap")
+  }
+}
