@@ -34,11 +34,13 @@ object ConnectedComponents {
     val spark = edges.sparkSession
     val Seq(srcC, dstC) = edges.columns.toSeq.take(2)
     // canonical undirected edge set, u > v convention dropped; keep (u, v) pairs u != v
+    // lazy checkpoints: lineage is cut at materialization (the next action
+    // that touches e) without paying one eager job per round
     var e = edges
       .select(col(srcC).as("u"), col(dstC).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     var converged = false
     var iter = 0
@@ -73,7 +75,7 @@ object ConnectedComponents {
         .select(least(col("a"), col("b")).as("v"), greatest(col("a"), col("b")).as("u"))
         .select(col("u"), col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(false)
 
       if (iter >= minIter - 1) {
         val sig = sigOf(small)
