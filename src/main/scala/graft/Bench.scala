@@ -66,6 +66,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // measured-best operating point: large enough that compute dominates
+    // the ~15s fixed per-run overhead, small enough that the candidate set
+    // stays memory-resident at every level (150k was slower AND noisier)
     val benchN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "60000").toLong
 
     // ---- per-query timings on the sf tables
