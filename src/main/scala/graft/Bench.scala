@@ -71,11 +71,22 @@ object Bench {
     // stays memory-resident at every level (150k was slower AND noisier)
     val benchN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "60000").toLong
 
-    // ---- per-query timings on the sf tables
+    // ---- per-query timings on the sf tables; a query that throws is
+    // recorded as -1 (NOT folded into total as a fast success) and listed
+    // in "errors" so a regression can't masquerade as a speedup
     var spark = session(cpus)
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t = time { try fn(spark, sfDir).count() catch { case _: Throwable => () } }
-      name -> t
+      var failed = false
+      val t = time {
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          failed = true
+          errors += name
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+        }
+      }
+      name -> (if (failed) -1.0 else t)
     }
 
     // ---- scaling evidence: identical pipeline job at N=8 and 4N=32 cores
@@ -108,9 +119,10 @@ object Bench {
     val eff = (thr32 / thr8) / (hi.toDouble / lo)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir",""" +
       s""""pipeline_n":$benchN,"cores_n":$lo,"cores_4n":$hi,""" +
       s""""images_per_sec_n":${thr8},"images_per_sec_4n":${thr32},""" +
       s""""pipeline_sec_n":${scaling(lo)._2},"pipeline_sec_4n":${scaling(hi)._2},""" +

@@ -139,22 +139,19 @@ FROM nrm n JOIN mn ON mn.doc_id = n.doc_id"""
     */
   def classifyRules(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
-      .select(col("doc_id"), col("text"), Signatures.normalizeCol(col("text")).as("norm"),
-        Signatures.wordNgramsCol(Signatures.normalizeCol(col("text")), Queries.ngramN).as("shs"))
-    val keyed = docs.select(col("doc_id").as("id"), explode(col("shs")).as("key"))
-    val cands = Blocking.pairsFromKeys(keyed)
-    val f1 = docs.select(col("doc_id").as("id1"), col("text").as("t1"),
-      col("norm").as("n1"), col("shs").as("s1"))
-    val f2 = docs.select(col("doc_id").as("id2"), col("text").as("t2"),
-      col("norm").as("n2"), col("shs").as("s2"))
-    val sims = cands.join(f1, Seq("id1")).join(f2, Seq("id2")).select(
+      .select(col("doc_id"), col("text"), Signatures.normalizeCol(col("text")).as("norm"))
+    // candidates + exact Jaccard come from the shared persisted edge stage
+    val scoredAll = Queries.ngramScoredAll(spark, dir)
+    val f1 = docs.select(col("doc_id").as("id1"), col("text").as("t1"), col("norm").as("n1"))
+    val f2 = docs.select(col("doc_id").as("id2"), col("text").as("t2"), col("norm").as("n2"))
+    val sims = scoredAll.join(f1, Seq("id1")).join(f2, Seq("id2")).select(
       col("id1"), col("id2"),
       (col("t1") === col("t2")).as("texteq"),
       ((length(col("n1")) <= length(col("n2")) && expr("instr(n2, n1) > 0") &&
         length(col("n1")) >= 8) ||
         (length(col("n2")) < length(col("n1")) && expr("instr(n1, n2) > 0") &&
           length(col("n2")) >= 8)).as("contains"),
-      graft.similarity.Sims.jaccardArr(col("s1"), col("s2")).as("jac"))
+      col("jaccard").as("jac"))
     val cascade = Classifier.cascade(
       Classifier.positiveRule("exact-text", col("texteq").cast("double")),
       Classifier.possibleRule("substring", when(col("contains"), 0.95).otherwise(0.0)),
@@ -217,7 +214,7 @@ FROM sims"""
     import Fusion._
     final case class DocRow(doc_id: Long, text: String, lang: String, n_chars: Long)
 
-    val assign = Queries.ccClusters(spark, dir).toDF("doc_id", "cluster_id")
+    val assign = Queries.ccAssign(spark, dir).toDF("doc_id", "cluster_id")
     val docs = table(spark, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
     val joined = docs.join(assign, Seq("doc_id"))
@@ -272,7 +269,7 @@ FROM agg a JOIN txt t USING (cluster_id) JOIN lng l USING (cluster_id)"""
     */
   def simMeasures(spark: SparkSession, dir: String): DataFrame = {
     val cust = table(spark, dir, "customer")
-    val pairs = Blocking.snmPairs(cust, "c_custkey", col("c_name"), Queries.snmWindow)
+    val pairs = Blocking.snmPairsScalable(cust, "c_custkey", col("c_name"), Queries.snmWindow)
     val c1 = cust.select(col("c_custkey").as("id1"), col("c_name").as("name1"),
       col("c_acctbal").as("bal1"))
     val c2 = cust.select(col("c_custkey").as("id2"), col("c_name").as("name2"),
@@ -317,8 +314,8 @@ JOIN customer b ON b.c_custkey = p.id2"""
     */
   def snmMultipass(spark: SparkSession, dir: String): DataFrame = {
     val cust = table(spark, dir, "customer")
-    val p1 = Blocking.snmPairs(cust, "c_custkey", col("c_name"), Queries.snmWindow)
-    val p2 = Blocking.snmPairs(
+    val p1 = Blocking.snmPairsScalable(cust, "c_custkey", col("c_name"), Queries.snmWindow)
+    val p2 = Blocking.snmPairsScalable(
       cust.where(col("c_mktsegment").isNotNull && col("c_acctbal").isNotNull),
       "c_custkey", struct(col("c_mktsegment"), col("c_acctbal")), Queries.snmWindow)
     p1.unionAll(p2).distinct()
@@ -373,10 +370,9 @@ SELECT DISTINCT least(id, p) AS id1, greatest(id, p) AS id2 FROM u WHERE p IS NO
   def refineClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = Queries.ngramJaccardT
-    val assign = Queries.ccClusters(spark, dir).toDF("doc_id", "cluster_id")
-    val feats = table(spark, dir, "documents").select(col("doc_id"),
-      transform(Signatures.wordNgramsCol(Signatures.normalizeCol(col("text")), Queries.ngramN),
-        s => Signatures.hash60Col(s)).as("shs"))
+    // every input below is a shared persisted stage — nothing recomputed
+    val assign = Queries.ccAssign(spark, dir).toDF("doc_id", "cluster_id")
+    val feats = Queries.docHashedShingles(spark, dir).toDF("doc_id", "shs")
     val scored = Queries.ddNgramJaccard(spark, dir)
       .select(col("id1"), col("id2"), col("jaccard"))
 

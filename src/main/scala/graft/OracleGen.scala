@@ -68,11 +68,15 @@ pairs AS (
   def jaccardVerifySql(threshold: Double): String =
     jaccardPairsCte(threshold) + "\nSELECT id1, id2, jaccard FROM pairs"
 
-  /** All-shingle inverted-index candidate pairs (exact blocking). */
+  /** All-shingle inverted-index candidate pairs, bucket-capped exactly like
+    * `Blocking.pairsFromKeys(_, Some(cap))`: a shingle shared by more than
+    * `cap` documents generates no pairs (skew guard, mirrored).
+    */
   def invertedIndexCandsCte: String =
-    """cands AS (
+    s"""keyok AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) BETWEEN 2 AND ${Queries.bucketCap}),
+cands AS (
   SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id)"""
+  FROM keyok k JOIN sh a ON a.sh = k.sh JOIN sh b ON b.sh = k.sh AND a.doc_id < b.doc_id)"""
 
   /** MinHash + LSH candidate CTEs mirroring Signatures.minHash/bandKeys:
     * perms VALUES table, per-(doc, perm) min, band keys as
@@ -94,9 +98,10 @@ bk AS (
     (i // ${cfg.rowsPerBand}) || ':' || string_agg(mv::VARCHAR, ',' ORDER BY i) AS key
   FROM mv
   GROUP BY doc_id, i // ${cfg.rowsPerBand}),
+bkok AS (SELECT key FROM bk GROUP BY key HAVING count(*) BETWEEN 2 AND ${Queries.bucketCap}),
 cands AS (
   SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-  FROM bk a JOIN bk b ON a.key = b.key AND a.doc_id < b.doc_id)"""
+  FROM bkok k JOIN bk a ON a.key = k.key JOIN bk b ON b.key = k.key AND a.doc_id < b.doc_id)"""
   }
 
   /** SimHash CTE mirroring Signatures.simHash over word tokens (with
@@ -126,9 +131,10 @@ sim AS (
     s"""bkeys AS (
   SELECT doc_id, g.i || ':' || ((sh >> (g.i * $per)) & ${(1L << per) - 1}) AS key
   FROM sim CROSS JOIN generate_series(0, ${blocks - 1}) AS g(i)),
+bkok AS (SELECT key FROM bkeys GROUP BY key HAVING count(*) BETWEEN 2 AND ${Queries.bucketCap}),
 cands AS (
   SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-  FROM bkeys a JOIN bkeys b ON a.key = b.key AND a.doc_id < b.doc_id)"""
+  FROM bkok k JOIN bkeys a ON a.key = k.key JOIN bkeys b ON b.key = k.key AND a.doc_id < b.doc_id)"""
   }
 
   /** Recursive CTEs for connected components over a pair CTE

@@ -31,46 +31,64 @@ object Queries {
   val substringK = 8
   val snmWindow = 3
 
+  /** Inverted-index bucket cap (skew guard), mirrored in every oracle's
+    * candidate CTE: a key shared by more than this many records is dropped
+    * from PAIR GENERATION (its pairing is quadratic and its selectivity
+    * near zero at scale — SURVEY.md §7.5 risk 2). Verification still counts
+    * ALL shared keys, so Jaccard values are exact for surviving candidates.
+    */
+  val bucketCap = 256
+
   // ------------------------------------------------------------ helpers
 
   private def docNorm(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
       .select(col("doc_id"), Signatures.normalizeCol(col("text")).as("norm"))
 
-  /** (id, shs) with distinct word-ngram shingle arrays. */
-  private def docWordShingles(spark: SparkSession, dir: String): DataFrame =
-    docNorm(spark, dir)
-      .select(col("doc_id").as("id"), Signatures.wordNgramsCol(col("norm"), ngramN).as("shs"))
-
   private def docCharShingles(spark: SparkSession, dir: String): DataFrame =
     docNorm(spark, dir)
       .select(col("doc_id").as("id"), Signatures.shinglesCol(col("norm"), lshCfg.shingleK).as("shs"))
 
-  /** Exact Jaccard pairs from an inverted index WITHOUT shipping shingle
-    * arrays: pair rows per key, count shared keys per pair (|∩|), join the
-    * per-id set sizes. Bit-identical to the array form (same integer
-    * counts, same division) at a fraction of the shuffle volume — pair rows
-    * carry only two ids.
+  /** Memoized (id, shs): SORTED hash60 word-ngram shingle arrays — the
+    * shared feature stage of the five ngram-family queries. Hashing is
+    * injective in practice (60-bit), so intersection/union counts equal the
+    * string-shingle counts the oracle computes.
     */
-  def jaccardFromInvertedIndex(keyed: DataFrame, t: Double): DataFrame = {
-    val ids = col("ids")
-    val pairs = flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + lit(2), greatest(size(ids) - i - 1, lit(0))), y =>
-        struct(least(x, y).as("id1"), greatest(x, y).as("id2")))))
-    val inter = keyed.groupBy("key").agg(collect_list(col("id")).as("ids"))
-      .where(size(ids) >= 2)
-      .select(explode(pairs).as("p"))
-      .select(col("p.id1"), col("p.id2"))
-      .where(col("id1") =!= col("id2"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("c"))
-    val cnt = keyed.groupBy("id").agg(count(lit(1)).as("n"))
-    inter
-      .join(cnt.select(col("id").as("id1"), col("n").as("n1")), Seq("id1"))
-      .join(cnt.select(col("id").as("id2"), col("n").as("n2")), Seq("id2"))
-      .withColumn("jaccard", col("c").cast("double") / (col("n1") + col("n2") - col("c")))
-      .where(col("jaccard") >= t)
-      .select(col("id1"), col("id2"), col("jaccard"))
-  }
+  def docHashedShingles(spark: SparkSession, dir: String): DataFrame =
+    QueryCache.memo(spark, "ngram_shs", dir) {
+      docNorm(spark, dir).select(col("doc_id").as("id"),
+        array_sort(transform(Signatures.wordNgramsCol(col("norm"), ngramN),
+          s => Signatures.hash60Col(s))).as("shs"))
+    }
+
+  /** Memoized shared edge stage: capped inverted-index candidate pairs with
+    * exact Jaccard for EVERY candidate (no threshold) — `dd_ngram_jaccard`,
+    * `classify_rules`, `cc_clusters`, `fuse_canonical` and `refine_clusters`
+    * all derive from this one persisted DataFrame (round-1 bench spent 271 s
+    * recomputing it per query). Candidate generation is bucket-capped
+    * (quadratic-pairing skew guard); verification counts all shared
+    * shingles, so Jaccard is exact.
+    */
+  def ngramScoredAll(spark: SparkSession, dir: String): DataFrame =
+    QueryCache.memo(spark, "ngram_scored", dir) {
+      val shs = docHashedShingles(spark, dir)
+      val keyed = shs.select(col("id"), explode(col("shs")).as("key"))
+      val cands = Blocking.pairsFromKeys(keyed, Some(bucketCap))
+      val s1 = shs.select(col("id").as("id1"), col("shs").as("sh1"))
+      val s2 = shs.select(col("id").as("id2"), col("shs").as("sh2"))
+      cands.join(s1, Seq("id1")).join(s2, Seq("id2"))
+        .select(col("id1"), col("id2"),
+          graft.functions.SortedIntersect.jaccardSorted(col("sh1"), col("sh2")).as("jaccard"))
+    }
+
+  /** Memoized CC assignment over the DUPLICATE ngram edges (shared by
+    * `cc_clusters`, `fuse_canonical`, `refine_clusters`).
+    */
+  def ccAssign(spark: SparkSession, dir: String): DataFrame =
+    QueryCache.memo(spark, "cc_assign", dir) {
+      val edges = ddNgramJaccard(spark, dir).select(col("id1"), col("id2"))
+      ConnectedComponents.assignAll(table(spark, dir, "documents"), "doc_id", edges)
+    }
 
   /** Exact Jaccard verification of candidate pairs against per-id distinct
     * shingle arrays — the pairwise classification stage
@@ -105,11 +123,8 @@ object Queries {
     * approximate: every sharing pair is a candidate). The distributed form
     * of the reference's pairwise jaccard measure applied at corpus scale.
     */
-  def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val shs = docWordShingles(spark, dir)
-    val keyed = shs.select(col("id"), explode(col("shs")).as("key"))
-    jaccardFromInvertedIndex(keyed, ngramJaccardT)
-  }
+  def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramScoredAll(spark, dir).where(col("jaccard") >= ngramJaccardT)
 
   private val ddNgramJaccardSql =
     s"""WITH ${OracleGen.nrmCte},
@@ -127,7 +142,7 @@ ${OracleGen.jaccardVerifySql(ngramJaccardT)}"""
     val shs = docCharShingles(spark, dir)
     val sig = Signatures.minHashCol(col("shs"), lshCfg)
     val keyed = shs.select(col("id"), explode(Signatures.bandKeysCol(sig, lshCfg.bands)).as("key"))
-    jaccardVerify(Blocking.pairsFromKeys(keyed), shs, minhashJaccardT)
+    jaccardVerify(Blocking.pairsFromKeys(keyed, Some(bucketCap)), shs, minhashJaccardT)
   }
 
   private val ddMinhashLshSql =
@@ -143,7 +158,7 @@ ${OracleGen.jaccardVerifySql(minhashJaccardT)}"""
     val docs = docNorm(spark, dir)
     val sims = docs.select(col("doc_id").as("id"),
       Signatures.simHashCol(Signatures.wordsCol(col("norm")), 60).as("sh"))
-    val cands = Blocking.bitBlockPairs(sims, "id", "sh", simhashBlocks, 60)
+    val cands = Blocking.bitBlockPairs(sims, "id", "sh", simhashBlocks, 60, Some(bucketCap))
     val s1 = sims.select(col("id").as("id1"), col("sh").as("h1"))
     val s2 = sims.select(col("id").as("id2"), col("sh").as("h2"))
     cands.join(s1, Seq("id1")).join(s2, Seq("id2"))
@@ -180,7 +195,7 @@ FROM nrm a JOIN nrm b
     * (key, id), pair each record with its w-1 predecessors.
     */
   def snmBlocking(spark: SparkSession, dir: String): DataFrame =
-    Blocking.snmPairs(table(spark, dir, "customer"), "c_custkey", col("c_name"), snmWindow)
+    Blocking.snmPairsScalable(table(spark, dir, "customer"), "c_custkey", col("c_name"), snmWindow)
 
   private val snmBlockingSql =
     s"""WITH b AS (
@@ -198,11 +213,8 @@ WHERE p IS NOT NULL"""
     * over ngram-Jaccard DUPLICATE edges; cluster id = min member id;
     * singletons map to themselves (ref `TransitiveClosure.java:52-140`).
     */
-  def ccClusters(spark: SparkSession, dir: String): DataFrame = {
-    val edges = ddNgramJaccard(spark, dir).select(col("id1"), col("id2"))
-    ConnectedComponents.assignAll(table(spark, dir, "documents"), "doc_id", edges)
-      .select(col("id").as("doc_id"), col("cluster_id"))
-  }
+  def ccClusters(spark: SparkSession, dir: String): DataFrame =
+    ccAssign(spark, dir).select(col("id").as("doc_id"), col("cluster_id"))
 
   private val ccClustersSql =
     s"""WITH RECURSIVE ${OracleGen.nrmCte},

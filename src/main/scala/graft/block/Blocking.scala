@@ -137,45 +137,43 @@ object Blocking {
       .distinct()
   }
 
-  /** Scale path for SNM: range-partition by key, sort within partitions,
-    * slide a window per partition. Pairs spanning a partition boundary are
-    * recovered by replicating each partition's first (w-1) rows to the
-    * previous partition id (classic boundary-overlap trick) — no global
-    * sort, no single-partition bottleneck.
+  /** Scale path for SNM — identical pair set to [[snmPairs]], no
+    * single-partition WindowExec anywhere in the plan:
+    *
+    *  1. distributed sort by (key, id): `repartitionByRange` +
+    *     `sortWithinPartitions` (Spark's normal parallel sort);
+    *  2. global rank without a global window: `zipWithIndex` (partition
+    *     sizes are counted once; ranks = partition offset + local index —
+    *     one extra lightweight job, no data movement);
+    *  3. each row probes its (window-1) successors by rank: explode the
+    *     target ranks, equi-join on rank (shuffle hash/sort-merge join —
+    *     fully parallel).
+    *
+    * The id keeps its original type, so callers' oracle type parity is
+    * unchanged. Self-pairs are impossible (probed ranks differ from own).
     */
   def snmPairsScalable(records: DataFrame, idCol: String, keyCol: Column,
-                       window: Int, numPartitions: Int): DataFrame = {
+                       window: Int, numPartitions: Int = 0): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val base = records.select(col(idCol).cast("string").as("id"), keyCol.cast("string").as("key"))
-      .where(col("key").isNotNull)
-      .repartitionByRange(numPartitions, col("key"), col("id"))
-      .sortWithinPartitions(col("key"), col("id"))
     val spark = records.sparkSession
-    // tag rows with partition id, replicate heads to predecessor partition
-    val withPid = base.withColumn("_pid", spark_partition_id())
-    val heads = withPid
-      .withColumn("_rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("_pid").orderBy("key", "id")))
-      .where(col("_rn") < window && col("_pid") > 0)
-      .select(col("id"), col("key"), (col("_pid") - 1).as("_pid"))
-    val all = withPid.select("id", "key", "_pid").unionAll(heads)
-      .repartition(col("_pid"))
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val base = records.select(col(idCol).as("id"), keyCol.as("key"))
+      .where(col("key").isNotNull)
+      .repartitionByRange(parts, col("key"), col("id"))
       .sortWithinPartitions(col("key"), col("id"))
-    val schema = StructType(Seq(StructField("id1", StringType), StructField("id2", StringType)))
-    val pairsRdd = all.select("id").rdd.mapPartitions { it =>
-      val buf = new scala.collection.mutable.ArrayDeque[String]()
-      it.flatMap { r =>
-        val id = r.getString(0)
-        val out = buf.iterator.map { p =>
-          if (p < id) Row(p, id) else Row(id, p)
-        }.toList
-        buf.append(id)
-        if (buf.size >= window) buf.removeHead()
-        out
-      }
-    }
-    spark.createDataFrame(pairsRdd, schema).distinct()
+    val idField = base.schema("id")
+    val indexed = spark.createDataFrame(
+      base.select(col("id")).rdd.zipWithIndex.map { case (r, i) => Row(r.get(0), i) },
+      StructType(Seq(idField.copy(name = "id"), StructField("rn", LongType, nullable = false))))
+    val probes = indexed.select(col("id").as("other"),
+      explode(sequence(col("rn") + 1, col("rn") + (window - 1))).as("rn"))
+    indexed.join(probes, Seq("rn"))
+      .select(least(col("id"), col("other")).as("id1"),
+        greatest(col("id"), col("other")).as("id2"))
+      .distinct()
   }
 
   /** Substring-containment pass: pairs (A, B) where A's normalized text is a

@@ -79,6 +79,31 @@ class PlanSpec extends AnyFunSuite {
       "small feature sides should broadcast into the pair join")
   }
 
+  test("snmPairsScalable emits exactly the snmPairs pair set (boundaries included)") {
+    import spark.implicits._
+    // keys with heavy ties + nulls, ids out of order; 4 partitions forces
+    // many range boundaries at n=200 so cross-boundary pairs are exercised
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, if (i % 17 == 0) null else s"k${rng.nextInt(40)}")
+    }
+    val df = rows.toDF("id", "key")
+    for (w <- Seq(2, 3, 5)) {
+      val global = Blocking.snmPairs(df, "id", col("key"), w)
+        .as[(Long, Long)].collect().toSet
+      val scalable = Blocking.snmPairsScalable(df, "id", col("key"), w, numPartitions = 4)
+        .as[(Long, Long)].collect().toSet
+      assert(scalable == global, s"pair sets differ at window $w")
+      assert(!scalable.exists(p => p._1 == p._2), "no self-pairs")
+    }
+  }
+
+  test("catalog SNM plan has no single-partition Window") {
+    val cust = spark.range(0, 100).selectExpr("id AS c_custkey", "concat('n', id % 7) AS c_name")
+    val plan = formatted(Blocking.snmPairsScalable(cust, "c_custkey", col("c_name"), 3))
+    assert(!plan.contains("Window"), "scalable SNM must not plan a Window operator")
+  }
+
   test("bucket stats count dropped skew buckets and forfeited pairs") {
     import spark.implicits._
     val keyed = (Seq.fill(100)("hot") ++ Seq("a", "a", "b")).zipWithIndex
