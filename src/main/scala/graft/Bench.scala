@@ -9,24 +9,56 @@ import graft.model.DedupConfig
 /** Benchmark main. Prints ONE JSON line:
   *  - per-query wall times on the driver's sf tables at SPARK_GRAFT_CPUS
   *  - flagship image-dedup pipeline throughput at two parallelism levels
-  *    (local[8] = N, local[32] = 4N) on the identical deterministic input —
-  *    the sandbox evidence protocol for the north_rule's N->4N scaling
-  *    criterion (BASELINE.md): efficiency = (thr@4N / thr@N) / 4.
+  *    on the identical deterministic input — the sandbox evidence protocol
+  *    for the north_rule's N->4N scaling criterion (BASELINE.md):
+  *    efficiency = (thr@4N / thr@N) / 4.
+  *
+  * Scaling-measurement protocol (why it is shaped this way):
+  *  - each scaling run executes in a FRESH subprocess JVM. Running the
+  *    levels inside the query-phase JVM couples them to its GC debt (a
+  *    ~490 s query phase leaves an old gen that penalizes high-thread runs
+  *    disproportionately — observed as a 16-core run 4.6x slower in-JVM
+  *    than standalone);
+  *  - trials are interleaved across levels and the per-level minimum is
+  *    taken: the host is a shared microVM with bursty multi-second stalls,
+  *    so consecutive runs of one level can land inside one bad window;
+  *  - scan-split sizing is derived from the actual input byte size, never
+  *    hard-wired to one input.
   */
 object Bench {
 
-  private def session(cores: Int): SparkSession = {
+  /** JDK17 module opens Spark needs when launched outside spark-submit
+    * (mirrors build.sbt / JavaModuleOptions.defaultModuleOptions()).
+    */
+  private val addOpens: Seq[String] = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  private def dirBytes(path: String): Long = {
+    val fs = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+    fs.map(f => if (f.isDirectory) dirBytes(f.getPath) else f.length()).sum
+  }
+
+  def session(cores: Int, inputBytes: Long = 0L): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
+    // size scan splits to the input so the map side parallelizes at every
+    // level (default 128m packs a few-hundred-MB input into ~3 tasks)
+    val splitMb = if (inputBytes > 0) {
+      math.min(128L, math.max(4L, inputBytes / (1024L * 1024L) / cores))
+    } else math.max(212L / cores, 4L)
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
-      // bench inputs are a few hundred MB of small parquet files — without
-      // these the scan bin-packs into ~3 splits and the whole map side
-      // (md5 + shingle hashing + simhash UDFs) runs near-serial
-      .config("spark.sql.files.maxPartitionBytes", s"${math.max(212 / cores, 4)}m")
+      .config("spark.sql.files.maxPartitionBytes", s"${splitMb}m")
       .config("spark.sql.files.openCostInBytes", "262144")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -63,18 +95,56 @@ object Bench {
     c
   }
 
+  /** One scaling run, in-process: warm at small n (codegen + JIT), then
+    * timed at benchN. Used by the subprocess entry and as fallback.
+    */
+  def timedRun(cores: Int, warmPath: String, inputPath: String): Double = {
+    val s = session(cores, dirBytes(inputPath))
+    try {
+      pipelineRun(s, warmPath)
+      time(pipelineRun(s, inputPath))
+    } finally s.stop()
+  }
+
+  /** Spawn one scaling run in a fresh JVM; None if the subprocess fails or
+    * exceeds the watchdog timeout (a host-stall casualty — the trial is
+    * dropped rather than poisoning the minimum).
+    */
+  private def subprocessRun(cores: Int, warmPath: String, inputPath: String): Option[Double] = {
+    import scala.sys.process._
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val mem = sys.env.getOrElse("SPARK_GRAFT_SUB_MEM", "36g")
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_RUN_TIMEOUT", "900").toLong
+    val cmd = Seq(javaBin, s"-Xmx$mem") ++ addOpens ++ Seq(
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", cp, "graft.BenchPipeline", cores.toString, warmPath, inputPath)
+    val out = new StringBuilder
+    val logger = ProcessLogger(l => out.synchronized { out.append(l).append('\n') }, _ => ())
+    val p = Process(cmd).run(logger)
+    val done = new java.util.concurrent.CompletableFuture[Int]()
+    new Thread(() => done.complete(p.exitValue()), "graft-bench-wait").start()
+    val rc = try done.get(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+    catch { case _: java.util.concurrent.TimeoutException => p.destroy(); -1 }
+    if (rc != 0) None
+    else "GRAFT_PIPELINE_SEC=([0-9.]+)".r
+      .findFirstMatchIn(out.synchronized(out.toString)).map(_.group(1).toDouble)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // measured-best operating point: large enough that compute dominates
-    // the ~15s fixed per-run overhead, small enough that the candidate set
-    // stays memory-resident at every level (150k was slower AND noisier)
-    val benchN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "60000").toLong
+    // large enough that parallel compute dominates the measured ~13 s of
+    // size-independent per-run overhead (plan compile, per-job scheduling,
+    // session + scan setup) even at the highest level: the efficiency
+    // target needs C/16 >> F, which 60k-row runs cannot provide
+    val benchN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "600000").toLong
+    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
 
     // ---- per-query timings on the sf tables; a query that throws is
     // recorded as -1 (NOT folded into total as a fast success) and listed
     // in "errors" so a regression can't masquerade as a speedup
-    var spark = session(cpus)
+    val spark = session(cpus, dirBytes(sfDir))
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var failed = false
@@ -89,34 +159,36 @@ object Bench {
       name -> (if (failed) -1.0 else t)
     }
 
-    // ---- scaling evidence: identical pipeline job at N=8 and 4N=32 cores
+    // ---- scaling inputs, generated once (untimed)
+    val warmPath = ensureInput(spark, 2000L)
+    val inputPath = ensureInput(spark, benchN)
     spark.stop()
+
     // Scaling levels: N=4 vs 4N=16 by default — the machine has 16 physical
     // cores (+HT to 32); 8->32 would cross into hyperthreads where the
     // hardware ceiling for a 4x thread ratio is ~2x throughput. 4->16 keeps
     // the 4x core ratio physical. Override via SPARK_GRAFT_BENCH_CORES.
     val levels = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORES", "4,16")
       .split(",").map(_.trim.toInt).toSeq
-    // best-of-2 per level, INTERLEAVED (4,16,16,4): the sandbox is a microVM
-    // on a shared host with bursty multi-second stalls; consecutive runs of
-    // one level can land entirely inside a bad window, so alternate levels
-    // and take the min per level
-    val best = scala.collection.mutable.Map.empty[Int, Double]
-    (levels ++ levels.reverse).foreach { cores =>
-      val s = session(cores)
-      val warm = ensureInput(s, 2000L)
-      val input = ensureInput(s, benchN)
-      // warm JVM/codegen once at small n so every run pays equal warmup
-      pipelineRun(s, warm)
-      val t = time(pipelineRun(s, input))
-      s.stop()
-      best(cores) = math.min(best.getOrElse(cores, Double.MaxValue), t)
-    }
-    val scaling = best.map { case (c, t) => c -> (benchN / t, t) }.toMap
     val lo = levels.min; val hi = levels.max
-    val thr8 = scaling(lo)._1.toDouble
-    val thr32 = scaling(hi)._1.toDouble
-    val eff = (thr32 / thr8) / (hi.toDouble / lo)
+    val order = (0 until trials).flatMap(t => if (t % 2 == 0) Seq(lo, hi) else Seq(hi, lo))
+    val best = scala.collection.mutable.Map.empty[Int, Double]
+    order.zipWithIndex.foreach { case (cores, i) =>
+      subprocessRun(cores, warmPath, inputPath) match {
+        case Some(t) =>
+          System.err.println(f"[bench] run ${i + 1}/${order.size} cores=$cores sec=$t%.1f")
+          best(cores) = math.min(best.getOrElse(cores, Double.MaxValue), t)
+        case None =>
+          System.err.println(s"[bench] run ${i + 1}/${order.size} cores=$cores dropped (failed/timeout)")
+      }
+    }
+    // a level with zero surviving subprocess trials falls back in-process
+    Seq(lo, hi).filterNot(best.contains).foreach { cores =>
+      best(cores) = timedRun(cores, warmPath, inputPath)
+    }
+    val thrLo = benchN / best(lo)
+    val thrHi = benchN / best(hi)
+    val eff = (thrHi / thrLo) / (hi.toDouble / lo)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -124,8 +196,20 @@ object Bench {
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir",""" +
       s""""pipeline_n":$benchN,"cores_n":$lo,"cores_4n":$hi,""" +
-      s""""images_per_sec_n":${thr8},"images_per_sec_4n":${thr32},""" +
-      s""""pipeline_sec_n":${scaling(lo)._2},"pipeline_sec_4n":${scaling(hi)._2},""" +
+      s""""images_per_sec_n":${thrLo},"images_per_sec_4n":${thrHi},""" +
+      s""""pipeline_sec_n":${best(lo)},"pipeline_sec_4n":${best(hi)},""" +
       s""""scaling_efficiency":$eff}""")
+  }
+}
+
+/** Subprocess entry for one scaling run: fresh JVM, fresh heap, one warm
+  * pass, one timed pass. Prints GRAFT_PIPELINE_SEC=<seconds>.
+  */
+object BenchPipeline {
+  def main(args: Array[String]): Unit = {
+    val Array(cores, warmPath, inputPath) = args
+    val t = Bench.timedRun(cores.toInt, warmPath, inputPath)
+    println(s"GRAFT_PIPELINE_SEC=$t")
+    sys.exit(0)
   }
 }

@@ -73,16 +73,18 @@ object Pipeline {
     */
   def candidates(feats: DataFrame, cfg: DedupConfig): DataFrame = {
     val cap = Some(cfg.maxBucketSize)
-    val lsh = Blocking.lshPairs(feats, "id", "shs", cfg, cap)
-    val sim = Blocking.bitBlockPairs(
-      feats, "id", "simhash", cfg.simhashBits / cfg.simhashBandBits, cfg.simhashBits, cap)
-    val ph = Blocking.bitBlockPairs(feats, "id", "phash", cfg.phashBlocks, 64, cap)
+    // the three hash-keyed passes (LSH bands, simhash blocks, phash blocks)
+    // share one keyed union -> ONE groupBy shuffle -> one pairing, instead
+    // of one shuffle+distinct per pass; keys are pass-prefixed so buckets
+    // never mix across passes. Identical pair set, 3x fewer stage barriers.
+    val keyed = Blocking.keyedUnion(feats, cfg)
+    val hashed = Blocking.pairsFromKeys(keyed, cap)
     val sub = Blocking.substringPairs(feats, "id", "norm", cfg.shingleK + 3, cap)
     // exact-content buckets star to their min id: same clusters, n-1 edges
     // per bucket instead of C(n,2) (a 2500-copy cluster: 2.5k vs 3.1M pairs)
     val exact = Blocking.starPairsFromKeys(
       feats.select(col("id"), col("chash").as("key")))
-    lsh.unionAll(sim).unionAll(ph).unionAll(sub).unionAll(exact)
+    hashed.unionAll(sub).unionAll(exact)
       .dropDuplicates("id1", "id2")
   }
 

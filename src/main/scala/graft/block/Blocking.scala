@@ -85,6 +85,26 @@ object Blocking {
       .select(col("rep").as("id1"), col("other").as("id2"))
       .distinct()
 
+  /** Union of the three hash-keyed blocking passes as ONE (id, key) index:
+    * LSH band keys ("L:"), simhash bit-blocks ("S:"), phash bit-blocks
+    * ("P:") — pass-prefixed so buckets never collide across passes. One
+    * downstream groupBy pairs all three passes in a single shuffle.
+    */
+  def keyedUnion(feats: DataFrame, cfg: DedupConfig): DataFrame = {
+    val sig = Signatures.minHashFromHashesCol(col("shs"), cfg)
+    val lsh = feats.select(col("id"),
+      explode(Signatures.bandKeysCol(sig, cfg.bands)).as("k0"))
+      .select(col("id"), concat(lit("L:"), col("k0")).as("key"))
+    val sim = feats.select(col("id"),
+      explode(Signatures.bitBlockKeysCol(col("simhash"),
+        cfg.simhashBits / cfg.simhashBandBits, cfg.simhashBits)).as("k0"))
+      .select(col("id"), concat(lit("S:"), col("k0")).as("key"))
+    val ph = feats.select(col("id"),
+      explode(Signatures.bitBlockKeysCol(col("phash"), cfg.phashBlocks, 64)).as("k0"))
+      .select(col("id"), concat(lit("P:"), col("k0")).as("key"))
+    lsh.unionAll(sim).unionAll(ph)
+  }
+
   /** MinHash/LSH blocking pass over a HASHED shingle-array column
     * (array<long> of hash60 values — see Pipeline.features).
     * records(idCol, shinglesCol) -> canonical candidate pairs.

@@ -25,22 +25,48 @@ object ConnectedComponents {
     * @return DataFrame (id, cluster_id) for every node incident to an edge;
     *         callers union isolated records back as singletons.
     */
-  /** @param minIter rounds to run before paying for convergence checks —
-    *        dedup graphs virtually always converge within 3 alternating
-    *        rounds (dense near-cliques); checking earlier costs one driver
-    *        action per round on small data where action latency dominates
+  /** @param minIter rounds to run before paying for convergence checks.
+    *        The signature agg is one cheap job; computing it from round 1
+    *        lets dense dedup graphs (near-cliques collapse to a star in one
+    *        alternating round) exit after 2 rounds instead of paying an
+    *        extra ~6-shuffle round to discover convergence later
     */
-  def run(edges: DataFrame, maxIter: Int = 30, minIter: Int = 3): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 30, minIter: Int = 1): DataFrame = {
+    val spark = edges.sparkSession
+    // AQE off for the duration of the fixpoint loop: each round is a chain
+    // of tiny shuffles, and AQE turns every one into its own stage-job
+    // (observed ~8 extra driver-latency-bound jobs per round). Skew is
+    // handled by the large-star/small-star decomposition itself (high-degree
+    // nodes shed neighbors to their minimum each round), so AQE's skew
+    // splitting buys nothing here. Restored afterwards.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = spark.conf.get(aqeKey, "true")
+    spark.conf.set(aqeKey, "false")
+    try runLoop(edges, maxIter, minIter)
+    finally spark.conf.set(aqeKey, aqeWas)
+  }
+
+  private def runLoop(edges: DataFrame, maxIter: Int, minIter: Int): DataFrame = {
     val spark = edges.sparkSession
     val Seq(srcC, dstC) = edges.columns.toSeq.take(2)
     // canonical undirected edge set, u > v convention dropped; keep (u, v) pairs u != v
-    // lazy checkpoints: lineage is cut at materialization (the next action
-    // that touches e) without paying one eager job per round
-    var e = edges
-      .select(col(srcC).as("u"), col(dstC).as("v"))
-      .where(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(false)
+    //
+    // Per-round plan truncation: each round references the previous round's
+    // frame twice, so the logical TREE is 2^k-sized after k rounds (plans
+    // hang in stringification/analysis long before data size matters).
+    // `rebaseOnRdd` rebases the round on its execution RDD — a one-node
+    // LogicalRDD plan — and the RDD is persisted so the round computes
+    // once; unlike per-round localCheckpoint this adds NO extra jobs.
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.storage.StorageLevel
+    val (e0, rdd0) = GraftColumnBridge.rebaseOnRdd(
+      edges
+        .select(col(srcC).as("u"), col(dstC).as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct())
+    rdd0.persist(StorageLevel.MEMORY_AND_DISK)
+    var e = e0
+    var eRdd: org.apache.spark.rdd.RDD[_] = rdd0
 
     var converged = false
     var iter = 0
@@ -57,34 +83,41 @@ object ConnectedComponents {
       val adj = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
       val mins = adj.groupBy("u").agg(min(col("v")).as("_mv"))
         .select(col("u"), least(col("u"), col("_mv")).as("m"))
+      // no distinct here: duplicate (u, m) rows are harmless to the
+      // small-star min-aggregations and the final distinct — dropping the
+      // dedup saves one shuffle per round
       val large = adj.join(mins, Seq("u"))
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .where(col("u") =!= col("v"))
-        .distinct()
 
       // ---- small-star: for each u over neighbors v <= u (v < u since no
       //      self-loops), connect them all (and u) to m = min(N<(u) ∪ {u})
       val adj2 = large.unionAll(large.select(col("v").as("u"), col("u").as("v")))
       val smallNbr = adj2.where(col("v") < col("u"))
       val smins = smallNbr.groupBy("u").agg(min(col("v")).as("m"))
-      val small = smallNbr.join(smins, Seq("u"))
+      val small0 = smallNbr.join(smins, Seq("u"))
         .select(col("v").as("a"), col("m").as("b"))
         .unionAll(smins.select(col("u").as("a"), col("m").as("b")))
         .where(col("a") =!= col("b"))
         .select(least(col("a"), col("b")).as("v"), greatest(col("a"), col("b")).as("u"))
         .select(col("u"), col("v"))
         .distinct()
-        .localCheckpoint(false)
+      val (small, smallRdd) = GraftColumnBridge.rebaseOnRdd(small0)
+      smallRdd.persist(StorageLevel.MEMORY_AND_DISK)
 
       if (iter >= minIter - 1) {
-        val sig = sigOf(small)
+        val sig = sigOf(small) // materializes this round's RDD cache
         converged = sig == prevSig
         prevSig = sig
       }
+      eRdd.unpersist(false)
       e = small
+      eRdd = smallRdd
       iter += 1
     }
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc] rounds=$iter converged=$converged")
 
     // after convergence e is a star forest: (bigger -> component min)
     val members = e.select(col("u").as("id"), col("v").as("cluster_id"))

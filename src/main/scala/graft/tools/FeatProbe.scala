@@ -1,0 +1,36 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.sig.Signatures
+
+/** Dev probe: which part of the feature projection fails to scale. */
+object FeatProbe {
+  def main(args: Array[String]): Unit = {
+    val cores = args.headOption.map(_.toInt).getOrElse(16)
+    val n = args.lift(1).getOrElse("60000")
+    val spark = graft.Bench.session(cores)
+    val images = spark.read.parquet(s"/tmp/graft_bench_input_$n")
+    def t(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"[feat] $name%-16s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    }
+    for (rep <- 1 to 2) {
+      println(s"-- rep $rep")
+      t("scan-only")(images.select(count(lit(1))).head())
+      t("md5-bytes")(images.select(md5(col("bytes"))).select(count(col("*"))).head())
+      val norm = Signatures.normalizeCol(col("caption"))
+      t("normalize")(images.select(norm.as("n")).select(sum(length(col("n")))).head())
+      t("shingle-hash")(images.select(norm.as("n"))
+        .select(array_sort(transform(Signatures.shinglesCol(col("n"), 5), s => Signatures.hash60Col(s))).as("a"))
+        .select(sum(size(col("a")))).head())
+      t("simhash-udf")(images.select(norm.as("n"))
+        .select(Signatures.simHashCol(Signatures.wordsCol(col("n")), 60).as("s"))
+        .select(sum(col("s"))).head())
+      t("minhash-udf")(images.select(norm.as("n"))
+        .select(Signatures.minHashCol(Signatures.shinglesCol(col("n"), 5), graft.model.DedupConfig()).as("s"))
+        .select(count(col("*"))).head())
+    }
+    spark.stop()
+  }
+}

@@ -12,15 +12,8 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(10000L)
     val cores = args.lift(1).map(_.toInt).getOrElse(32)
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.files.maxPartitionBytes", s"${math.max(212 / cores, 4)}m")
-      .config("spark.sql.files.openCostInBytes", "262144")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val reps = args.lift(2).map(_.toInt).getOrElse(1)
+    val spark = graft.Bench.session(cores)
     import spark.implicits._
 
     def t[A](name: String)(f: => A): A = {
@@ -36,6 +29,18 @@ object Profile {
       if (!new java.io.File(p, "_SUCCESS").exists())
         ImageGen.asImages(ImageGen.generate(spark, n, 42L, 32)).write.mode("overwrite").parquet(p)
       p
+    }
+    for (_ <- 1 to reps) runOnce(spark, path, cfg)
+    spark.stop()
+  }
+
+  private def runOnce(spark: SparkSession, path: String, cfg: DedupConfig): Unit = {
+    import spark.implicits._
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[profile] $name%-12s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
     }
     val images = spark.read.parquet(path)
     val feats = t("features") {
@@ -64,6 +69,6 @@ object Profile {
       val slim = images.select($"image_id", $"caption", $"fmt", $"w", $"h", $"phash")
       println(s"[profile]   clusters: ${Pipeline.fuse(slim, refined).count()}")
     }
-    spark.stop()
+    Seq(feats, cands, scored, assign0, refined).foreach(_.unpersist(false))
   }
 }

@@ -10,4 +10,24 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Rebase a DataFrame onto its own execution RDD: the result's logical
+    * plan is a single LogicalRDD node, severing the upstream plan tree.
+    *
+    * Needed by iterative fixpoint loops (connected components): a round's
+    * plan references the previous round's plan twice, so after k rounds the
+    * logical TREE is 2^k-sized even though the RDD DAG (a graph with
+    * sharing) stays linear — plan stringification and re-analysis hang long
+    * before the data is large. `localCheckpoint` also truncates but pays a
+    * materialization job per round. The RDD is lazy here; callers persist
+    * it (or the returned frame) and trigger it with their own action.
+    */
+  def rebaseOnRdd(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    // toRdd iterators REUSE one mutable UnsafeRow per partition — rows must
+    // be copied before they can be cached, or every cached partition
+    // degenerates to n references to its last row
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+    (spark.internalCreateDataFrame(rdd, df.schema), rdd)
+  }
 }
