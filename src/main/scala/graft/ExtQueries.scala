@@ -59,12 +59,48 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v) /
     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= $embThreshold"""
 
-  /** SRP-LSH approximate variant (rows-only: float hyperplane math is not
-    * SQL-mirrorable bit-exactly; recall vs brute force is asserted in
-    * AnnSpec instead).
+  /** SRP-LSH approximate variant. Fully oracle-mirrored: the hyperplanes
+    * are deterministic hash60-parity ±1 vectors, emitted as literals into
+    * the DuckDB SQL; banding, bucket cap and the cosine verify are all
+    * integer- or fold-order-exact (recall vs brute force additionally
+    * asserted in OpsSpec).
     */
   def annLsh(spark: SparkSession, dir: String): DataFrame =
     Embeddings.lshThresholdPairs(table(spark, dir, "embeddings"), 64, embThreshold)
+
+  private val annLshSql = {
+    val cos = "list_dot_product(x.v, y.v) / " +
+      "(sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))"
+    s"""WITH ${OracleGen.srpLshCtes(dim = 64, bits = 16, bands = 8, seed = 42L, cap = 2000)}
+SELECT c.id1, c.id2, $cos AS cosine
+FROM cands c JOIN e x ON x.vec_id = c.id1 JOIN e y ON y.vec_id = c.id2
+WHERE $cos >= $embThreshold"""
+  }
+
+  /** IVF top-k ANN: the cell-probed scale path (vs ann_topk's exact
+    * baseline) — deterministic coarse centroids, nprobe=4 of 16 cells,
+    * exact cosine verify within probed cells. Fully oracle-mirrored
+    * (centroid literals + identical fold arithmetic).
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = table(spark, dir, "embeddings")
+    Embeddings.ivfTopK(vecs, vecs.where(col("vec_id") % annQueryMod === 0), annK)
+  }
+
+  private val annIvfSql = {
+    val cos = "list_dot_product(p.qv, n.nv) / " +
+      "(sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(n.nv, n.nv)))"
+    s"""WITH ${OracleGen.ivfCtes(numCells = 16, dim = 64, seed = 42L)},
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, c AS cell FROM rc
+  WHERE crank <= 4 AND vec_id % $annQueryMod = 0),
+s AS (
+  SELECT p.query_id, n.neighbor_id, $cos AS cosine
+  FROM probes p JOIN cells n ON n.cell = p.cell AND n.neighbor_id <> p.query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM r WHERE rank <= $annK"""
+  }
 
   // ------------------------------------------------------- text analysis
 
@@ -306,6 +342,66 @@ FROM pairs p
 JOIN customer a ON a.c_custkey = p.id1
 JOIN customer b ON b.c_custkey = p.id2"""
 
+  // ------------------------------------------ collection similarity surface
+
+  /** Collection-valued similarity measures over candidate token bags — the
+    * reference's multi-name-classifier composition surface
+    * (`PersonClassifierWithMultipleNames.java:66-136`): Monge-Elkan with an
+    * inner normalized Levenshtein, histogram-cosine over token bags, and
+    * their max-of-strategies combination. Token arrays are the first 8
+    * normalized words; pairs come from the shared inverted-index stage.
+    * (The stable-matching strategy is covered by reference-fixture unit
+    * tests — Gale-Shapley has no SQL analog for the oracle.)
+    */
+  def simCollection(spark: SparkSession, dir: String): DataFrame = {
+    val toks = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        slice(Signatures.wordsCol(Signatures.normalizeCol(col("text"))), 1, 8).as("toks"))
+    val pairs = Queries.ngramScoredAll(spark, dir).select(col("id1"), col("id2"))
+    val t1 = toks.select(col("doc_id").as("id1"), col("toks").as("t1"))
+    val t2 = toks.select(col("doc_id").as("id2"), col("toks").as("t2"))
+    val me = graft.similarity.SimUdfs.mongeElkanLevCol()(col("t1"), col("t2"))
+    val cb = graft.similarity.SimUdfs.cosineBagCol(col("t1"), col("t2"))
+    pairs.join(t1, Seq("id1")).join(t2, Seq("id2"))
+      .select(col("id1"), col("id2"),
+        me.cast("float").as("me_lev"),
+        cb.as("cos_bag"),
+        greatest(me.cast("float"), cb.cast("float")).as("best"))
+  }
+
+  private val simCollectionSql = {
+    val levSim = "CASE WHEN greatest(length(t), length(u)) = 0 THEN 1.0 " +
+      "ELSE 1.0 - levenshtein(t, u)::DOUBLE / greatest(length(t), length(u)) END"
+    s"""WITH ${OracleGen.nrmCte},
+${OracleGen.wordNgramCtes(Queries.ngramN)},
+${OracleGen.invertedIndexCandsCte},
+tk AS (
+  SELECT doc_id,
+    CASE WHEN length(norm) = 0 THEN []::VARCHAR[]
+         ELSE string_split(norm, ' ')[1:8] END AS toks
+  FROM nrm),
+s AS (
+  SELECT c.id1, c.id2, a.toks AS t1, b.toks AS t2,
+    CASE WHEN len(a.toks) = 0 AND len(b.toks) = 0 THEN 1.0
+         WHEN len(a.toks) = 0 OR len(b.toks) = 0 THEN 0.0
+         ELSE list_aggregate(list_transform(a.toks, t ->
+                list_max(list_transform(b.toks, u -> $levSim))), 'avg')
+    END AS me_raw,
+    CASE WHEN len(a.toks) = 0 AND len(b.toks) = 0 THEN 1.0
+         WHEN len(a.toks) = 0 OR len(b.toks) = 0 THEN 0.0
+         ELSE CAST(list_aggregate(list_transform(list_distinct(a.toks), t ->
+                len(list_filter(a.toks, x -> x = t)) * len(list_filter(b.toks, y -> y = t))), 'sum') AS DOUBLE)
+              / (sqrt(CAST(list_aggregate(list_transform(list_distinct(a.toks), t ->
+                   len(list_filter(a.toks, x -> x = t)) * len(list_filter(a.toks, y -> y = t))), 'sum') AS DOUBLE))
+               * sqrt(CAST(list_aggregate(list_transform(list_distinct(b.toks), t ->
+                   len(list_filter(b.toks, x -> x = t)) * len(list_filter(b.toks, y -> y = t))), 'sum') AS DOUBLE)))
+    END AS cos_bag
+  FROM cands c JOIN tk a ON a.doc_id = c.id1 JOIN tk b ON b.doc_id = c.id2)
+SELECT id1, id2, me_raw::FLOAT AS me_lev, cos_bag,
+  greatest(me_raw::FLOAT, cos_bag::FLOAT) AS best
+FROM s"""
+  }
+
   // --------------------------------------------------- multi-pass SNM
 
   /** The reference's multi-pass SNM with a composite second key
@@ -435,25 +531,40 @@ SELECT DISTINCT least(id, p) AS id1, greatest(id, p) AS id2 FROM u WHERE p IS NO
 
   // ------------------------------------------------------- multimodal
 
-  /** Real binary decode (JDK ImageIO) over a generated image table:
-    * per-format decode stats. Rows-only check (no SQL analog of a JPEG
-    * decoder); determinism is asserted in MultimodalSpec.
+  /** Real binary decode (JDK ImageIO) over a generated image table, with a
+    * REAL oracle: the generator's intended metadata (image_id, fmt, w, h)
+    * is emitted as a parquet side table, and the query's output is computed
+    * from the DECODED bytes — n/n_ok/min/max dimensions hash-match only if
+    * every image decodes and reproduces its metadata. Luma invariants stay
+    * in OpsSpec (float summation is not oracle-portable).
     */
+  val mmMetaPath = "/tmp/graft_mm_meta"
+
   def mmStats(spark: SparkSession, dir: String): DataFrame = {
-    val images = graft.gen.ImageGen.asImages(
-      graft.gen.ImageGen.generate(spark, 400L, seed = 7L, partitions = 8)).toDF()
-    Multimodal.formatStats(Multimodal.decodeFeatures(images))
+    val gen = graft.gen.ImageGen.generate(spark, 400L, seed = 7L, partitions = 8)
+    gen.toDF().select(col("image_id"), col("fmt"), col("w"), col("h"))
+      .coalesce(1).write.mode("overwrite").parquet(mmMetaPath)
+    val images = graft.gen.ImageGen.asImages(gen).toDF()
+    Multimodal.decodeStats(Multimodal.decodeFeatures(images))
   }
+
+  private val mmStatsSql =
+    s"""SELECT fmt, count(*) AS n, count(*) AS n_ok,
+  CAST(min(w) AS INT) AS min_w, CAST(max(w) AS INT) AS max_w,
+  CAST(min(h) AS INT) AS min_h, CAST(max(h) AS INT) AS max_h
+FROM read_parquet('$mmMetaPath/*.parquet') GROUP BY fmt"""
 
   // ------------------------------------------------------------ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> (annTopK _),
     "ann_lsh" -> (annLsh _),
+    "ann_ivf" -> (annIvf _),
     "emb_pairs" -> (embPairs _),
     "ta_langid" -> (taLangid _),
     "ta_quality" -> (taQuality _),
     "ta_fingerprint" -> (taFingerprint _),
+    "sim_collection" -> (simCollection _),
     "classify_rules" -> (classifyRules _),
     "fuse_canonical" -> (fuseCanonical _),
     "sim_measures" -> (simMeasures _),
@@ -465,15 +576,19 @@ SELECT DISTINCT least(id, p) AS id1, greatest(id, p) AS id2 FROM u WHERE p IS NO
 
   val oracles: Map[String, String] = Map(
     "ann_topk" -> annTopKSql,
+    "ann_lsh" -> annLshSql,
+    "ann_ivf" -> annIvfSql,
     "emb_pairs" -> embPairsSql,
     "ta_langid" -> taLangidSql,
     "ta_quality" -> taQualitySql,
     "ta_fingerprint" -> taFingerprintSql,
+    "sim_collection" -> simCollectionSql,
     "classify_rules" -> classifyRulesSql,
     "fuse_canonical" -> fuseCanonicalSql,
     "sim_measures" -> simMeasuresSql,
     "snm_multipass" -> snmMultipassSql,
     "ev_hourly" -> evHourlySql,
+    "mm_stats" -> mmStatsSql,
     "refine_clusters" -> (s"""WITH RECURSIVE ${OracleGen.nrmCte},
 ${OracleGen.wordNgramCtes(Queries.ngramN)},
 ${OracleGen.invertedIndexCandsCte},

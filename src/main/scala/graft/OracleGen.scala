@@ -137,6 +137,56 @@ cands AS (
   FROM bkok k JOIN bkeys a ON a.key = k.key JOIN bkeys b ON b.key = k.key AND a.doc_id < b.doc_id)"""
   }
 
+  /** SRP-LSH candidate CTEs mirroring Embeddings.lshBuckets exactly: the
+    * ±1 hyperplanes are hash60-parity-derived, so they are emitted here as
+    * literal DOUBLE vectors; `list_dot_product` over `::DOUBLE[]` matches
+    * Spark's sequential zip_with/aggregate fold bit-for-bit, and the sign
+    * test, band keys and bucket cap are integer-exact.
+    * Produces CTEs e(vec_id, v) and cands(id1, id2).
+    */
+  def srpLshCtes(dim: Int, bits: Int, bands: Int, seed: Long, cap: Int): String = {
+    val per = bits / bands
+    val mask = (1L << per) - 1
+    val bitTerms = (0 until bits).map { b =>
+      val plane = (0 until dim).map(d =>
+        if ((Signatures.hash60(s"srp:$seed:$b:$d") & 1L) == 1L) "1.0" else "-1.0").mkString(", ")
+      s"(CASE WHEN list_dot_product(v, [$plane]) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+srp AS (SELECT vec_id, v, $bitTerms AS sig FROM e),
+bkeys AS (
+  SELECT vec_id, g.i || ':' || ((sig >> (g.i * $per)) & $mask) AS key
+  FROM srp CROSS JOIN generate_series(0, ${bands - 1}) AS g(i)),
+bok AS (SELECT key FROM bkeys GROUP BY key HAVING count(*) BETWEEN 2 AND $cap),
+cands AS (
+  SELECT DISTINCT least(a.vec_id, b.vec_id) AS id1, greatest(a.vec_id, b.vec_id) AS id2
+  FROM bok k JOIN bkeys a ON a.key = k.key JOIN bkeys b ON b.key = k.key AND a.vec_id < b.vec_id)"""
+  }
+
+  /** IVF cell-assignment CTEs mirroring Embeddings.ivfTopK: the centroids
+    * are deterministic hash60-derived literals; cell score
+    * s_c = list_dot_product(v, C_c) − ||C_c||²/2 reproduces the Spark UDF's
+    * sequential fold bit-for-bit (double literals printed in shortest
+    * round-trip form). Produces CTEs e(vec_id, v), cells(neighbor cell
+    * assignment) and a ranked cell list rc for probe selection.
+    */
+  def ivfCtes(numCells: Int, dim: Int, seed: Long): String = {
+    val cents = graft.ops.Embeddings.ivfCentroids(numCells, dim, seed)
+    val halfNorms = cents.map(c => c.map(x => x * x).sum / 2)
+    val scoreList = cents.indices.map { c =>
+      val lits = cents(c).map(java.lang.Double.toString).mkString(", ")
+      s"list_dot_product(v, [$lits]) - ${java.lang.Double.toString(halfNorms(c))}"
+    }.mkString(",\n    ")
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sc AS (SELECT vec_id, v, [$scoreList] AS ss FROM e),
+rc AS (
+  SELECT vec_id, v, c,
+    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS crank
+  FROM (SELECT vec_id, v, unnest(ss) AS s, unnest(generate_series(1, ${cents.length})) AS c
+        FROM sc)),
+cells AS (SELECT vec_id AS neighbor_id, v AS nv, c AS cell FROM rc WHERE crank = 1)"""
+  }
+
   /** Recursive CTEs for connected components over a pair CTE
     * `pairs(id1, id2)`: produces CTE `cc(doc_id, cluster_id = min reachable
     * id)`, singletons included.

@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * of the north_rule. Each stage writes its output as a parquet table (the
   * sandbox stand-in for an Iceberg table; swap `parquet` for
   * `writeTo(...).append()` on a real catalog) plus a `_metrics.json`
-  * sidecar carrying row counts per partition (lineage: which partition of
-  * which stage produced how many rows) and stage wall time.
+  * sidecar carrying per-output-file row counts (lineage: which file of
+  * which stage holds how many rows) and stage wall time.
   *
   * `stage(name)(compute)` is skip-if-complete: a re-run after a crash
   * resumes from the last completed stage — no recomputation of finished
-  * work (verified by CheckpointSpec).
+  * work (verified by the resume spec). A stage is complete only when BOTH
+  * the parquet `_SUCCESS` marker AND the metrics sidecar exist — a crash
+  * between the two re-runs the stage rather than leaving it permanently
+  * metricless.
   */
 final class Checkpoints(spark: SparkSession, workDir: String) {
 
@@ -22,12 +25,13 @@ final class Checkpoints(spark: SparkSession, workDir: String) {
   private def metricsPath(name: String) = s"$workDir/${name}_metrics.json"
 
   def isComplete(name: String): Boolean =
-    Files.exists(Paths.get(path(name), "_SUCCESS"))
+    Files.exists(Paths.get(path(name), "_SUCCESS")) &&
+      Files.exists(Paths.get(metricsPath(name)))
 
-  /** Compute-or-load a stage. On compute: write parquet + metrics sidecar
-    * with per-partition row counts (spark_partition_id lineage) and wall
-    * time. On resume: read the parquet back (fresh lineage, no upstream
-    * recompute).
+  /** Compute-or-load a stage. On compute: write parquet, then ONE read-back
+    * job derives the row total and per-file lineage (the files ARE the
+    * stage's produced output units — unlike spark_partition_id over a
+    * re-read, which reflects reader split packing).
     */
   def stage(name: String)(compute: => DataFrame): DataFrame = {
     if (!isComplete(name)) {
@@ -35,17 +39,19 @@ final class Checkpoints(spark: SparkSession, workDir: String) {
       val df = compute
       df.write.mode("overwrite").parquet(path(name))
       val wallSec = (System.nanoTime() - t0) / 1e9
-      val perPart = spark.read.parquet(path(name))
-        .groupBy(spark_partition_id().as("partition"))
+      val perFile = spark.read.parquet(path(name))
+        .groupBy(input_file_name().as("file"))
         .agg(count(lit(1)).as("rows"))
-        .orderBy("partition")
         .collect()
-        .map(r => s"""{"partition":${r.getInt(0)},"rows":${r.getLong(1)}}""")
+        .map(r => (r.getString(0).split('/').last, r.getLong(1)))
+        .sortBy(_._1)
+      val total = perFile.map(_._2).sum
+      val filesJson = perFile
+        .map { case (f, n) => s"""{"file":"$f","rows":$n}""" }
         .mkString("[", ",", "]")
-      val total = spark.read.parquet(path(name)).count()
       Files.createDirectories(Paths.get(workDir))
       Files.writeString(Paths.get(metricsPath(name)),
-        s"""{"stage":"$name","rows":$total,"wall_sec":$wallSec,"partitions":$perPart}""")
+        s"""{"stage":"$name","rows":$total,"wall_sec":$wallSec,"files":$filesJson}""")
     }
     spark.read.parquet(path(name))
   }
@@ -53,12 +59,42 @@ final class Checkpoints(spark: SparkSession, workDir: String) {
   def metrics(name: String): Option[String] =
     if (Files.exists(Paths.get(metricsPath(name)))) Some(Files.readString(Paths.get(metricsPath(name))))
     else None
+
+  /** Write an arbitrary metrics sidecar (used for blocking-skew stats). */
+  def writeMetrics(name: String, json: String): Unit = {
+    Files.createDirectories(Paths.get(workDir))
+    Files.writeString(Paths.get(metricsPath(name)), json)
+  }
 }
 
 object Checkpoints {
 
+  /** Per-blocking-pass skew report: buckets the cap dropped and the pairs
+    * that forfeits (SURVEY.md §7.5 risk 2 — "dropped pairs counted in
+    * metrics"). One JSON array entry per pass.
+    */
+  def skewMetricsJson(feats: DataFrame, cfg: graft.model.DedupConfig): String = {
+    import graft.block.Blocking
+    import graft.sig.Signatures
+    val sig = Signatures.minHashFromHashesCol(col("shs"), cfg)
+    val passes = Seq(
+      "lsh" -> feats.select(col("id"),
+        explode(Signatures.bandKeysCol(sig, cfg.bands)).as("key")),
+      "simhash" -> feats.select(col("id"),
+        explode(Signatures.bitBlockKeysCol(col("simhash"),
+          cfg.simhashBits / cfg.simhashBandBits, cfg.simhashBits)).as("key")),
+      "phash" -> feats.select(col("id"),
+        explode(Signatures.bitBlockKeysCol(col("phash"), cfg.phashBlocks, 64)).as("key")))
+    passes.map { case (name, keyed) =>
+      val r = Blocking.bucketStats(keyed, cfg.maxBucketSize).head()
+      s"""{"pass":"$name","n_buckets":${r.getLong(0)},"n_dropped_buckets":${r.getLong(1)},""" +
+        s""""pairs_dropped":${r.getLong(2)},"max_bucket":${r.getLong(3)}}"""
+    }.mkString("[", ",", "]")
+  }
+
   /** Full pipeline with per-stage checkpoints: resumable end-to-end run.
-    * Stages: features, candidates, scored, assign0, assign, canonical.
+    * Stages: features, candidates (+skew sidecar), scored, assign_tc,
+    * assign_refined, canonical.
     */
   def runCheckpointed(spark: SparkSession, images: DataFrame, workDir: String,
                       cfg: graft.model.DedupConfig): DataFrame = {
@@ -66,6 +102,8 @@ object Checkpoints {
     val cp = new Checkpoints(spark, workDir)
     val feats = cp.stage("01_features")(Pipeline.features(images, cfg))
     val cands = cp.stage("02_candidates")(Pipeline.candidates(feats, cfg))
+    if (cp.metrics("02_candidates_skew").isEmpty)
+      cp.writeMetrics("02_candidates_skew", skewMetricsJson(feats, cfg))
     val scoredDf = cp.stage("03_scored") {
       Pipeline.classified(feats, cands, cfg).toDF()
     }

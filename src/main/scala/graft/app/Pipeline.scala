@@ -48,11 +48,11 @@ object Pipeline {
                              phash: Long, fuse_errors: Seq[String])
 
   /** Stage 1: feature projection (column-pruned: bytes read once for the
-    * content hash, never again). Shingles are carried as 60-bit hashes, not
-    * strings — Jaccard on hashed shingles is identical modulo ~2^-60
-    * collisions, at a fraction of the shuffle bytes, and the hash is the
-    * shared oracle kernel (Signatures.hash60) so the naive oracle mirrors
-    * it exactly.
+    * content hash, never again). Shingles are carried as 64-bit xxhash64
+    * values, not strings — Jaccard on hashed shingles is identical modulo
+    * ~2^-64 collisions, at a fraction of the shuffle bytes and CPU (the
+    * md5-based hash60 is only needed where a DuckDB oracle must mirror the
+    * hash; the in-memory test oracle shares Signatures.fastHash instead).
     */
   def features(images: DataFrame, cfg: DedupConfig): DataFrame = {
     val norm = Signatures.normalizeCol(col("caption"))
@@ -63,8 +63,9 @@ object Pipeline {
       md5(col("bytes")).as("chash"))
       .withColumn("shs",
         array_sort(transform(Signatures.shinglesCol(col("norm"), cfg.shingleK),
-          s => Signatures.hash60Col(s))))
-      .withColumn("simhash", Signatures.simHashCol(Signatures.wordsCol(col("norm")), cfg.simhashBits))
+          s => Signatures.fastHashCol(s))))
+      .withColumn("simhash",
+        Signatures.simHashFastCol(Signatures.wordsCol(col("norm")), cfg.simhashBits))
   }
 
   /** Stage 2: multi-pass blocking — union of candidate passes, deduplicated
@@ -273,6 +274,11 @@ object Pipeline {
     // read in the feature projection (for the content hash) and never again
     val df = images.toDF()
     val feats = features(df, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize the feature stage ONCE before fanning out: the blocking
+    // union scans `feats` from ~6 branches concurrently, and concurrent
+    // first-computes of a lazily-persisted frame each recompute every
+    // partition before the cache fills (measured ~3x the whole stage)
+    feats.count()
     val slim = df.select(col("image_id"), col("caption"), col("fmt"),
       col("w"), col("h"), col("phash")).persist(StorageLevel.MEMORY_AND_DISK)
     val cands = candidates(feats, cfg)

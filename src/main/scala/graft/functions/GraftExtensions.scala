@@ -19,7 +19,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("sorted_intersect_card"),
-      new ExpressionInfo(classOf[SortedLongIntersectCard].getName, "sorted_intersect_card"),
-      (children: Seq[Expression]) => SortedLongIntersectCard(children(0), children(1))))
+      new ExpressionInfo(
+        classOf[SortedLongIntersectCard].getName,
+        null,
+        "sorted_intersect_card",
+        "_FUNC_(a, b) - Intersection cardinality of two array<bigint> that are " +
+          "sorted ascending and distinct (PRECONDITION: unsorted input undercounts).",
+        "", "", "", "misc_funcs", "", "", "java_udf"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new IllegalArgumentException(
+            s"sorted_intersect_card requires exactly 2 arguments, got ${children.length}")
+        SortedLongIntersectCard(children(0), children(1))
+      }))
   }
 }

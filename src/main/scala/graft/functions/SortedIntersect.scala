@@ -2,28 +2,57 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.{greatest, lit, size, when}
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** Intersection cardinality of two SORTED long arrays — a native Catalyst
   * expression (preference order (b) of the build rules: custom Expression
   * before UDF). `array_intersect` builds a hash set per row and materializes
   * the intersection array; for the verify hot path we only need |∩| of two
-  * pre-sorted hash60 shingle arrays, which a merge scan computes in O(n+m)
+  * pre-sorted hash shingle arrays, which a merge scan computes in O(n+m)
   * reading primitive longs straight out of ArrayData — no boxing, no
-  * allocation.
+  * allocation. PRECONDITION: both arrays sorted ascending, distinct —
+  * unsorted input undercounts (documented in the SQL usage string).
+  *
+  * Type checking makes SQL misuse an AnalysisException instead of silent
+  * garbage (array<int> elements read as longs).
   */
 case class SortedLongIntersectCard(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect_card requires two array<bigint> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
 
   override def dataType: DataType = IntegerType
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedLongIntersectCard.card(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  // real codegen (not CodegenFallback): one static call, keeps the verify
+  // projection inside its whole-stage codegen span
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SortedLongIntersectCard.card($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object SortedLongIntersectCard {
+  /** JVM entry shared by eval and generated code. */
+  def card(x: ArrayData, y: ArrayData): Int = {
     var i = 0; var j = 0; var c = 0
     val n = x.numElements(); val m = y.numElements()
     while (i < n && j < m) {
@@ -34,9 +63,6 @@ case class SortedLongIntersectCard(left: Expression, right: Expression)
     }
     c
   }
-
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(left = l, right = r)
 }
 
 object SortedIntersect {

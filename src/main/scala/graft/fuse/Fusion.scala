@@ -108,6 +108,33 @@ object Fusion {
     if (vs.isEmpty) vs
     else Seq(calculated(vs, vs.flatMap(_.value).distinct))
 
+  /** Concatenation of ALL collection values, duplicates kept (ref
+    * `unionAll(factory)`, `CommonConflictResolutions.java:388-416`; the
+    * factory argument chooses the target collection — Seq here).
+    */
+  def unionAll[T]: Resolution[Seq[T]] = vs =>
+    if (vs.isEmpty) vs
+    else Seq(calculated(vs, vs.flatMap(_.value)))
+
+  /** Fusion failure raised inside a nested resolution; the enclosing
+    * [[FieldMerge]] catches it into the outer error list (the reference
+    * collects nested `FusionException`s the same way,
+    * `ConflictResolutionFusion.java:83-88`).
+    */
+  final case class FusionError(msg: String) extends RuntimeException(msg)
+
+  /** Recursive struct fusion: resolve a record-valued field by applying a
+    * full nested [[Merge]] to the annotated struct values (ref
+    * `merge(ctor)`, `CommonConflictResolutions.java:256-276`).
+    */
+  def nestedMerge[T](m: Merge[T]): Resolution[T] = vs =>
+    if (vs.isEmpty) vs
+    else {
+      val (rec, errors) = m.fuse(vs)
+      if (errors.nonEmpty) throw FusionError(errors.mkString("; "))
+      Seq(calculated(vs, rec))
+    }
+
   /** Pass-through that demands all values equal (ref `assumeEqualValue`,
     * :425-427 — error surfaces via the ≤1-survivor rule).
     */
@@ -120,7 +147,8 @@ object Fusion {
     */
   def randomPick[T]: Resolution[T] = vs =>
     if (vs.isEmpty) vs
-    else Seq(vs((vs.map(_.value.hashCode).sum.abs % vs.size)))
+    // floorMod, not .abs: abs(Int.MinValue) is negative and would throw
+    else Seq(vs(java.lang.Math.floorMod(vs.map(_.value.hashCode).sum, vs.size)))
 
   def andThen[T](a: Resolution[T], b: Resolution[T]): Resolution[T] = vs => b(a(vs))
 
@@ -185,11 +213,15 @@ object Fusion {
     def mergeInto(rec: T, members: Seq[Annotated[T]], ctx: FusionContext): Either[String, T] = {
       val vals = members.map(a => Annotated(get(a.value), a.source, a.sourceWeight, a.ts))
         .filterNot(a => isEmpty(a.value))
-      val survivors = ctxResolution(vals, ctx).map(_.value).distinct
-      survivors match {
-        case Seq() => Right(rec)
-        case Seq(v) => Right(set(rec, v))
-        case many => Left(s"$name: ${many.size} irreconcilable values")
+      try {
+        val survivors = ctxResolution(vals, ctx).map(_.value).distinct
+        survivors match {
+          case Seq() => Right(rec)
+          case Seq(v) => Right(set(rec, v))
+          case many => Left(s"$name: ${many.size} irreconcilable values")
+        }
+      } catch {
+        case Fusion.FusionError(msg) => Left(s"$name: $msg")
       }
     }
   }

@@ -79,6 +79,65 @@ object Embeddings {
         explode(Signatures.bitBlockKeysCol(col("srp"), bands, bits)).as("bucket"))
   }
 
+  /** Deterministic IVF coarse quantizer: K data-independent centroids with
+    * coordinates derived from hash60 (uniform in [-1, 1]) — no training
+    * collect, reproducible in SQL as literals. A trained quantizer would
+    * tighten cells, but a fixed one already gives the IVF *shape*: one
+    * narrow shuffle to cells, probes touch nprobe/K of the corpus.
+    */
+  def ivfCentroids(k: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(k, dim)((c, d) =>
+      (Signatures.hash60(s"ivf:$seed:$c:$d") % 2001 - 1000) / 1000.0)
+
+  /** Cell score used for assignment: argmax_c (v·c − ||c||²/2), the
+    * L2-nearest centroid rewritten without ||v||². Ties break to the lower
+    * cell index. Scores are sequential-fold doubles, so a SQL oracle with
+    * `list_dot_product` reproduces them bit-for-bit.
+    */
+  def ivfCellsUdf(cents: Array[Array[Double]], nprobe: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val halfNorms = cents.map(c => c.map(x => x * x).sum / 2)
+    udf((v: Seq[Float]) => {
+      val scores = cents.indices.map { c =>
+        var acc = 0.0
+        val p = cents(c)
+        var d = 0
+        while (d < v.length && d < p.length) { acc += p(d) * v(d); d += 1 }
+        (acc - halfNorms(c), c)
+      }
+      scores.sortBy { case (s, c) => (-s, c) }.take(nprobe).map(_._2)
+    })
+  }
+
+  /** IVF top-k ANN: assign every vector to its nearest deterministic
+    * centroid cell (one shuffle), probe each query's `nprobe` nearest
+    * cells, verify with exact cosine, per-query top-k. The scale path for
+    * similarity search: probes read nprobe/K of the corpus instead of all
+    * of it; cells are ordinary partition keys, so AQE handles cell skew.
+    */
+  def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+              numCells: Int = 16, nprobe: Int = 4, dim: Int = 64,
+              seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = ivfCentroids(numCells, dim, seed)
+    val cellOf = ivfCellsUdf(cents, 1)
+    val probeOf = ivfCellsUdf(cents, nprobe)
+    val cells = vectors.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+      explode(cellOf(col("embedding"))).as("cell"))
+    val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      explode(probeOf(col("embedding"))).as("cell"))
+    val scored = cells.join(broadcast(probes), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineCol(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    // each vector lives in exactly one cell, so a (query, neighbor) pair
+    // occurs at most once across the probed cells — no dedup needed
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("int").as("rank"),
+        col("cosine"))
+  }
+
   /** Approximate threshold pairs via SRP-LSH bucketing + exact verify.
     * Band geometry must match the target similarity: P(bit agree) =
     * 1 - θ/π, so a cosine-0.4 target (θ≈66°, p≈0.63) needs SHORT bands —

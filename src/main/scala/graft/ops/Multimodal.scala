@@ -58,7 +58,9 @@ object Multimodal {
             ImageFeatures(id, fmt, w, h, decode_ok = true, luma / px.length,
               ImageGen.averageHash(px, w, h), thumb)
           } catch {
-            case _: Throwable =>
+            // NonFatal + IOException only: swallowing OOM/fatal errors as
+            // "decode failed" rows would hide real executor trouble
+            case e if scala.util.control.NonFatal(e) =>
               ImageFeatures(id, fmt, -1, -1, decode_ok = false, 0.0, 0L, Array.empty)
           }
         }
@@ -72,4 +74,17 @@ object Multimodal {
       sum(when(col("decode_ok"), 1L).otherwise(0L)).as("n_ok"),
       min(col("w")).as("min_w"), max(col("w")).as("max_w"),
       avg(col("mean_luma")).as("avg_luma"))
+
+  /** Oracle-checkable decode statistics: every column is derived from the
+    * DECODED pixels/dimensions, and must reproduce the generator's intended
+    * metadata exactly (the DuckDB oracle aggregates the emitted metadata
+    * side table) — a real end-to-end decode gate, integer-exact. Luma-style
+    * float stats stay in [[formatStats]] (asserted in OpsSpec instead).
+    */
+  def decodeStats(feats: Dataset[ImageFeatures]): DataFrame =
+    feats.toDF().groupBy(col("fmt")).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("decode_ok"), 1L).otherwise(0L)).as("n_ok"),
+      min(col("w")).as("min_w"), max(col("w")).as("max_w"),
+      min(col("h")).as("min_h"), max(col("h")).as("max_h"))
 }

@@ -47,6 +47,21 @@ object Signatures {
   def hash60Sql(expr: String): String =
     s"(('0x' || substr(md5($expr), 1, 15))::BIGINT)"
 
+  // ------------------------------------------------------------- fast hash
+
+  /** Pipeline-side fast string hash: Spark's xxhash64 (seed 42), ~50x
+    * cheaper than the md5-based hash60. The ORACLE-MIRRORED catalog queries
+    * keep hash60 (DuckDB can reproduce md5); the flagship pipeline and its
+    * in-memory test oracle only need *some* shared injective hash, so they
+    * share this one. Exactly `xxhash64(col)` in Column form.
+    */
+  def fastHash(s: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s),
+      org.apache.spark.sql.types.StringType, 42L)
+
+  def fastHashCol(c: Column): Column = xxhash64(c)
+
   // ----------------------------------------------------- permutation seeds
 
   /** Deterministic affine-permutation coefficients: a_i in [1, P-1],
@@ -61,19 +76,23 @@ object Signatures {
 
   // ---------------------------------------------------------- normalization
 
-  /** Caption normalization, generalizing the reference's person-name
-    * normalizer (`PersonCandidateSelection.java:53-64`: lowercase, strip
-    * non-alphanumerics, collapse whitespace).
+  /** Caption normalization, the full reference semantics
+    * (`PersonCandidateSelection.java:53-64`): lowercase, NFD accent fold +
+    * strip combining marks ("Héllo" -> "hello", not "hllo"), remove braced
+    * terms `\(.*?\)`, strip non-alphanumerics; spaces are kept (single,
+    * trimmed) so word tokenization survives — a documented deviation.
+    * Backed by the codegen'd single-pass kernel [[graft.functions.TextNorm]].
     */
-  def normalize(s: String): String =
-    s.toLowerCase.replaceAll("[^a-z0-9 ]", "").replaceAll("\\s+", " ").trim
+  def normalize(s: String): String = graft.functions.TextNorm.normalize(s)
 
-  def normalizeCol(c: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), "\\s+", " "))
+  def normalizeCol(c: Column): Column = graft.functions.NormalizeText(c)
 
-  /** Identical normalization in DuckDB SQL (needs explicit 'g' flag). */
+  /** Identical normalization in DuckDB SQL (needs explicit 'g' flag;
+    * `strip_accents` is DuckDB's NFD-fold analog).
+    */
   def normalizeSql(expr: String): String =
-    s"trim(regexp_replace(regexp_replace(lower($expr), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))"
+    s"trim(regexp_replace(regexp_replace(regexp_replace(strip_accents(lower($expr)), " +
+      s"'\\(.*?\\)', '', 'g'), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))"
 
   // --------------------------------------------------------------- shingles
 
@@ -150,7 +169,8 @@ object Signatures {
     val sig = Array.fill(n)(Long.MaxValue)
     val it = hs.iterator
     while (it.hasNext) {
-      val h = it.next() % P
+      // floorMod: inputs may be full-range xxhash64 values (fast path)
+      val h = java.lang.Math.floorMod(it.next(), P)
       var i = 0
       while (i < n) {
         val v = (a(i) * h + b(i)) % P
@@ -194,10 +214,15 @@ object Signatures {
     * <= 60 so the shared hash covers it. Ref analog: the image/caption-side
     * near-dup signature required by BASELINE.json north_star.
     */
-  def simHash(tokens: Seq[String], bits: Int): Long = {
+  def simHash(tokens: Seq[String], bits: Int): Long = simHashWith(tokens, bits, hash60)
+
+  /** SimHash over an arbitrary token-hash function — the pipeline uses
+    * [[fastHash]], the oracle-mirrored catalog keeps [[hash60]].
+    */
+  def simHashWith(tokens: Seq[String], bits: Int, hashFn: String => Long): Long = {
     val acc = new Array[Int](bits)
     tokens.foreach { t =>
-      val h = hash60(t)
+      val h = hashFn(t)
       var b = 0
       while (b < bits) {
         if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
@@ -252,6 +277,13 @@ object Signatures {
 
   def simHashCol(tokensCol: Column, bits: Int): Column = {
     val f = udf((toks: Seq[String]) => simHash(if (toks == null) Seq.empty else toks, bits))
+    f(tokensCol)
+  }
+
+  /** Pipeline-side SimHash over [[fastHash]] (xxhash64) token hashes. */
+  def simHashFastCol(tokensCol: Column, bits: Int): Column = {
+    val f = udf((toks: Seq[String]) =>
+      simHashWith(if (toks == null) Seq.empty else toks, bits, fastHash))
     f(tokensCol)
   }
 

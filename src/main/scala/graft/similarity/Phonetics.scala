@@ -39,4 +39,13 @@ object Phonetics {
     */
   def phoneticEq(codec: Column => Column): Sims.CSim =
     Sims.of(codec)(Sims.equality)
+
+  /** Generic wrapper for ANY commons-codec StringEncoder (ref
+    * `CommonTransformations.codec`, `CommonTransformations.java:131-139`) —
+    * the three named codecs above are instances of this.
+    */
+  def codec(enc: () => org.apache.commons.codec.StringEncoder): Column => Column = {
+    val f = udf((s: String) => if (s == null) null else enc().encode(s).toString)
+    c => f(c)
+  }
 }

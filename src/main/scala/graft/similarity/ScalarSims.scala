@@ -171,8 +171,10 @@ object ScalarSims {
         var sum = 0.0; var n = 0
         var i = 0
         while (i < l.length) {
-          val lo = math.max(0, i - maxPositionDiff)
-          val hi = math.min(r.length - 1, if (maxPositionDiff == Int.MaxValue) Int.MaxValue - 1 else i + maxPositionDiff)
+          // long arithmetic: i + maxPositionDiff overflows Int for any large
+          // finite maxPositionDiff, silently emptying the window
+          val lo = math.max(0L, i.toLong - maxPositionDiff).toInt
+          val hi = math.min(r.length - 1L, i.toLong + maxPositionDiff).toInt
           var best = Double.NegativeInfinity
           var j = lo
           while (j <= hi && j < r.length) {

@@ -24,18 +24,33 @@ object StreamingDedup {
     * `Deduplication.materializedDeduplicate` last/first-wins
     * (`core/dedupe/deduplication/Deduplication.java:86-91`) with
     * first-wins semantics (arrival order, as in the online reference).
+    *
+    * @param stateTtl optional per-key state TTL (processing time). The
+    *        default (null) is EXACT-FOREVER dedup: state grows with key
+    *        cardinality and never expires — correct, and acceptable only
+    *        for bounded keyspaces. Pass e.g. "24 hours" for the
+    *        memory/exactness trade every large-scale streaming dedup makes
+    *        (a key seen again after the TTL is re-emitted).
     */
-  def firstPerKey(records: DataFrame, keyCol: String, idCol: String): Dataset[Keyed] = {
+  def firstPerKey(records: DataFrame, keyCol: String, idCol: String,
+                  stateTtl: String = null): Dataset[Keyed] = {
     val spark = records.sparkSession
     import spark.implicits._
+    val timeout =
+      if (stateTtl == null) GroupStateTimeout.NoTimeout
+      else GroupStateTimeout.ProcessingTimeTimeout
     records.select(col(keyCol).cast("string").as("key"), col(idCol).cast("string").as("id"))
       .as[Keyed]
       .groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
         (key: String, rows: Iterator[Keyed], state: GroupState[Boolean]) => {
-          if (state.exists) Iterator.empty
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) Iterator.empty
           else {
             state.update(true)
+            if (stateTtl != null) state.setTimeoutDuration(stateTtl)
             rows.take(1)
           }
         })

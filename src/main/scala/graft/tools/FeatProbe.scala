@@ -26,10 +26,17 @@ object FeatProbe {
         .select(sum(size(col("a")))).head())
       t("simhash-udf")(images.select(norm.as("n"))
         .select(Signatures.simHashCol(Signatures.wordsCol(col("n")), 60).as("s"))
-        .select(sum(col("s"))).head())
-      t("minhash-udf")(images.select(norm.as("n"))
-        .select(Signatures.minHashCol(Signatures.shinglesCol(col("n"), 5), graft.model.DedupConfig()).as("s"))
-        .select(count(col("*"))).head())
+        .select(count(when(col("s") > 0L, 1))).head())
+      t("full-features") {
+        val f = graft.app.Pipeline.features(images, graft.model.DedupConfig())
+        f.select(count(lit(1))).head()
+      }
+      t("features+persist") {
+        val f = graft.app.Pipeline.features(images, graft.model.DedupConfig())
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        f.count()
+        f.unpersist(false)
+      }
     }
     spark.stop()
   }

@@ -29,9 +29,15 @@ class KernelSpec extends AnyFunSuite {
     assert(Signatures.shingles("", 5) == Seq(""))
   }
 
-  test("normalize mirrors lower/strip/collapse") {
-    assert(Signatures.normalize("  Héllo,  World!  ") == "hllo world")
+  test("normalize: NFD accent fold + braced-term strip + lower/strip/collapse " +
+    "(PersonCandidateSelection.java:53-64)") {
+    assert(Signatures.normalize("  Héllo,  World!  ") == "hello world")
     assert(Signatures.normalize("A  B\t C") == "a b c")
+    assert(Signatures.normalize("Müller") == "muller")
+    assert(Signatures.normalize("Anna (née Schmidt) Meyer") == "anna meyer")
+    assert(Signatures.normalize("a(x)b(y)c") == "abc")
+    assert(Signatures.normalize("Ольга") == "")      // non-Latin falls away
+    assert(Signatures.normalize("café São João") == "cafe sao joao")
   }
 
   test("minhash is permutation-stable and order-insensitive") {
@@ -65,6 +71,31 @@ class KernelSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------- similarity refs
+
+  test("mongeElkan: mean-of-best with inner levenshtein; window; overflow regression " +
+    "(MongeElkan.java:53-94)") {
+    val me = ScalarSims.mongeElkan(ScalarSims.levenshtein())
+    // abc: best lev-sim vs (abd=2/3, xxz=0); xyz: best vs (abd=0, xxz=2/3)
+    assert(math.abs(me(Seq("abc", "xyz"), Seq("abd", "xxz")) - 2.0 / 3) < 1e-12)
+    assert(me(Seq.empty, Seq.empty) == 1.0)
+    assert(me(Seq("a"), Seq.empty) == 0.0)
+    // positionWise (maxPositionDiff=0) zips positions
+    val pw = ScalarSims.positionWise(ScalarSims.levenshtein())
+    assert(math.abs(pw(Seq("abc", "xyz"), Seq("xyz", "abc")) - 0.0) < 1e-12)
+    // regression: large finite maxPositionDiff must not overflow the window
+    val big = ScalarSims.mongeElkan(ScalarSims.equality[String], Int.MaxValue - 1)
+    assert(big(Seq("a"), Seq("a")) == 1.0)
+  }
+
+  test("cosineBag: histogram count-vector cosine (CosineSimilarityMeasure.java:42-66)") {
+    val cb = ScalarSims.cosineBag[String]
+    // counts {a:2,b:1} x {a:1,b:2}: dot 4, norms sqrt(5) -> 0.8
+    assert(math.abs(cb(Seq("a", "a", "b"), Seq("a", "b", "b")) - 0.8) < 1e-12)
+    assert(cb(Seq.empty, Seq.empty) == 1.0)
+    assert(cb(Seq("a"), Seq.empty) == 0.0)
+    assert(cb(Seq("x"), Seq("y")) == 0.0)
+    assert(cb(Seq("x", "x"), Seq("x")) == 1.0)
+  }
 
   test("stable-matching similarity: reference fixture (MatchingSimilarityTest.java:37-53)") {
     val men = Seq("aaa", "ddd", "bbb", "ccc")
@@ -290,5 +321,31 @@ class KernelSpec extends AnyFunSuite {
     // singleton passthrough (ConflictResolutionFusion.java:77-79)
     val single = merge.fuse(Seq(Annotated(P("X", "?", 1), "s", 1.0, 1L)))
     assert(single._1 == P("X", "?", 1) && single._2.isEmpty)
+  }
+
+  test("nested merge(ctor) fuses struct-valued fields recursively; unionAll keeps " +
+    "duplicates (CommonConflictResolutions.java:256-276, 388-416)") {
+    import graft.fuse.Fusion._
+    case class Name(first: String, last: String)
+    case class P(id: String, name: Name, tags: Seq[String])
+    val nameMerge = Merge[Name](Seq(
+      FieldMerge[Name, String]("first", _.first, (n, v) => n.copy(first = v), andThen(longest, first)),
+      FieldMerge[Name, String]("last", _.last, (n, v) => n.copy(last = v), assumeEqual[String])))
+    val merge = Merge[P](Seq(
+      FieldMerge[P, String]("id", _.id, (p, v) => p.copy(id = v), min[String]),
+      FieldMerge[P, Name]("name", _.name, (p, v) => p.copy(name = v),
+        nestedMerge(nameMerge), (v: Name) => v == null),
+      FieldMerge[P, Seq[String]]("tags", _.tags, (p, v) => p.copy(tags = v),
+        unionAll[String], (v: Seq[String]) => v == null)))
+    val ok = merge.fuse(Seq(
+      Annotated(P("b", Name("Jo", "Meyer"), Seq("x")), "s1", 1.0, 1L),
+      Annotated(P("a", Name("Joanna", "Meyer"), Seq("x", "y")), "s2", 1.0, 2L)))
+    assert(ok._1 == P("a", Name("Joanna", "Meyer"), Seq("x", "x", "y")) && ok._2.isEmpty)
+    // nested failure (irreconcilable last name) surfaces in the OUTER error
+    // list, prefixed by the outer field (nested FusionException capture)
+    val bad = merge.fuse(Seq(
+      Annotated(P("a", Name("Jo", "Meyer"), Seq()), "s1", 1.0, 1L),
+      Annotated(P("b", Name("Jo", "Schmidt"), Seq()), "s2", 1.0, 2L)))
+    assert(bad._2.exists(e => e.startsWith("name:") && e.contains("last")))
   }
 }

@@ -104,4 +104,41 @@ class OpsSpec extends AnyFunSuite {
     assert(stats.map(_.getString(0)).toSet.subsetOf(Set("png", "bmp", "jpg")))
     stats.foreach(r => assert(r.getLong(1) == r.getLong(2), s"decode failures in ${r.getString(0)}"))
   }
+
+  test("OracleClustering: gold lookup with singleton fallback + pair metrics " +
+    "(OracleClustering.java:56-101)") {
+    import spark.implicits._
+    val records = (0L until 6L).toDF("rid")
+    val gold = Seq((0L, 0L), (1L, 0L), (2L, 2L), (3L, 2L)).toDF("id", "cluster")
+    val a = graft.cluster.OracleClustering.assign(records, "rid", gold)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 2L, 4L -> 4L, 5L -> 5L))
+
+    // got merges {0,1,2} and misses {3}: tp = 1 of gold's 2 pairs; got has 3 pairs
+    val got = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (4L, 4L), (5L, 5L)).toDF("id", "c")
+    val m = graft.cluster.OracleClustering.pairMetrics(got, gold).head()
+    assert(m.getLong(0) == 3 && m.getLong(1) == 2 && m.getLong(2) == 1)
+    assert(math.abs(m.getDouble(3) - 1.0 / 3) < 1e-12 && math.abs(m.getDouble(4) - 0.5) < 1e-12)
+  }
+
+  test("generic codec(StringEncoder) wrapper encodes like the named codecs " +
+    "(CommonTransformations.java:131-139)") {
+    import spark.implicits._
+    val df = Seq("Meyer", "Meier", null).toDF("s")
+    val generic = graft.similarity.Phonetics.codec(
+      () => new org.apache.commons.codec.language.ColognePhonetic())
+    val out = df.select(generic(col("s")).as("g"),
+      graft.similarity.Phonetics.cologne(col("s")).as("named")).collect()
+    out.foreach(r => assert(r.get(0) == r.get(1)))
+    assert(out(0).getString(0) == out(1).getString(0), "cologne equates Meyer/Meier")
+  }
+
+  test("sorted_intersect_card: wrong types fail analysis, not silently undercount") {
+    import spark.implicits._
+    val df = Seq((Seq(1, 2), Seq(2, 3))).toDF("a", "b") // array<int>, not array<bigint>
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.functions.SortedIntersect.card(col("a"), col("b"))).collect()
+    }
+    assert(ex.getMessage.contains("array<bigint>") || ex.getMessage.toLowerCase.contains("type"))
+  }
 }

@@ -39,8 +39,9 @@ class PipelineSpec extends AnyFunSuite {
   def oracleFeatures(recs: Seq[ImageGen.GenRecord]): Seq[OFeat] = recs.map { r =>
     val norm = Signatures.normalize(r.caption)
     OFeat(r.image_id, norm,
-      Signatures.shingles(norm, cfg.shingleK).map(Signatures.hash60).toSet,
-      r.phash, Signatures.simHash(Signatures.words(norm), cfg.simhashBits),
+      Signatures.shingles(norm, cfg.shingleK).map(Signatures.fastHash).toSet,
+      r.phash,
+      Signatures.simHashWith(Signatures.words(norm), cfg.simhashBits, Signatures.fastHash),
       java.security.MessageDigest.getInstance("MD5").digest(r.bytes)
         .map(b => f"$b%02x").mkString)
   }

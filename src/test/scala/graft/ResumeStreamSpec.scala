@@ -42,9 +42,18 @@ class ResumeStreamSpec extends AnyFunSuite {
     val cp = new Checkpoints(spark, work)
     assert(Seq("01_features", "02_candidates", "03_scored", "04_assign_tc",
       "05_assign_refined", "06_canonical").forall(cp.isComplete))
-    // metrics sidecar carries per-partition lineage
+    // metrics sidecar carries per-output-file lineage
     val m = cp.metrics("03_scored").get
-    assert(m.contains("\"partitions\":[") && m.contains("\"rows\":"))
+    assert(m.contains("\"files\":[") && m.contains("\"rows\":"))
+    // blocking-pass skew sidecar counts dropped pairs per pass
+    // (SURVEY.md §7.5 risk 2)
+    val skew = cp.metrics("02_candidates_skew").get
+    assert(skew.contains("\"pass\":\"lsh\"") && skew.contains("\"pairs_dropped\":"))
+    // a missing sidecar marks the stage incomplete (crash-window safety)
+    Files.delete(Paths.get(s"$work/03_scored_metrics.json"))
+    assert(!cp.isComplete("03_scored"))
+    Files.writeString(Paths.get(s"$work/03_scored_metrics.json"), m)
+    assert(cp.isComplete("03_scored"))
 
     // crash simulation: delete the last two stages; earlier checkpoints
     // must be loaded, not recomputed (detected via mtime stability)
