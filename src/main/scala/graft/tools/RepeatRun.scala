@@ -56,9 +56,24 @@ object RepeatRun {
             (a, b) => (a._1 + b._1, a._2 + b._2))
         }
     })
+    // job timeline: (jobId, startOffsetSec, durSec, site) for gap analysis
+    val timeline = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, Double, String)]()
+    @volatile var tlBase = System.nanoTime()
+    s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      val st = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        st.put(j.jobId, (System.nanoTime(),
+          j.stageInfos.map(_.numTasks).sum + ":" +
+            j.stageInfos.lastOption.map(_.name.take(44)).getOrElse("?")))
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        Option(st.remove(j.jobId)).foreach { case (t0, site) =>
+          timeline.add((j.jobId, (t0 - tlBase) / 1e9, (System.nanoTime() - t0) / 1e9, site))
+        }
+    })
     def t(f: => Any): Double = { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
     def probe(label: String, path: String): Unit = {
       val j0 = jobs.get(); val w0 = jobWall.get()
+      timeline.clear(); tlBase = System.nanoTime()
       val sec = t(graft.Bench.pipelineRun(s, path))
       println(f"$label sec=$sec%.1f jobs=${jobs.get() - j0} jobWallSec=${(jobWall.get() - w0) / 1e9}%.1f")
     }
@@ -72,6 +87,15 @@ object RepeatRun {
     stageStats.asScala.toSeq.sortBy(-_._2._5).take(12).foreach {
       case (id, (name, nt, sum, mx, wall)) =>
         println(f"[stage $id] wall=${wall / 1000.0}%6.1f tasks=$nt sumTask=${sum / 1000.0}%7.1f maxTask=${mx / 1000.0}%6.1f  $name")
+    }
+    // timeline of the LAST run: gaps between a job's end and the next
+    // job's start are driver-side time (planning, codegen, collect)
+    val tl = timeline.asScala.toSeq.sortBy(_._2)
+    var prevEnd = 0.0
+    tl.foreach { case (id, start, dur, site) =>
+      val gap = start - prevEnd
+      println(f"[tl] job=$id%3d start=$start%7.2f dur=$dur%6.2f gap=${math.max(gap, 0)}%6.2f  $site")
+      prevEnd = math.max(prevEnd, start + dur)
     }
     s.stop()
   }
