@@ -90,13 +90,15 @@ object Classifier {
   }
 
   /** Oracle classifier (ref `OracleClassifier.java:47-79`): broadcast-join
-    * the pairs against a gold pair set; used by recall tests.
+    * the pairs against a gold pair set, symmetrically doubled exactly as
+    * the reference lazily doubles its set (:68-73) so probe orientation
+    * never matters; used by recall tests.
     */
   def oracleClassify(pairs: DataFrame, goldPairs: DataFrame): DataFrame = {
-    val gold = goldPairs.select(
-      least(col("id1"), col("id2")).as("id1"),
-      greatest(col("id1"), col("id2")).as("id2"),
-      lit(true).as("_gold"))
+    val g0 = goldPairs.select(col("id1"), col("id2"))
+    val gold = g0.unionAll(g0.select(col("id2").as("id1"), col("id1").as("id2")))
+      .distinct()
+      .withColumn("_gold", lit(true))
     pairs.join(broadcast(gold), Seq("id1", "id2"), "left")
       .withColumn("classification",
         when(col("_gold"), Duplicate).otherwise(NonDuplicate))

@@ -133,6 +133,17 @@ class OpsSpec extends AnyFunSuite {
     assert(out(0).getString(0) == out(1).getString(0), "cologne equates Meyer/Meier")
   }
 
+  test("OracleClassifier: gold-pair lookup, orientation-agnostic (OracleClassifier.java:47-79)") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id1", "id2")
+    // gold stored in the OPPOSITE orientation for (1,2); (5,6) not gold
+    val gold = Seq((2L, 1L), (3L, 4L)).toDF("id1", "id2")
+    val out = graft.classify.Classifier.oracleClassify(pairs, gold)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(out((1L, 2L)) == "DUPLICATE" && out((3L, 4L)) == "DUPLICATE")
+    assert(out((5L, 6L)) == "NON_DUPLICATE")
+  }
+
   test("sorted_intersect_card: wrong types fail analysis, not silently undercount") {
     import spark.implicits._
     val df = Seq((Seq(1, 2), Seq(2, 3))).toDF("a", "b") // array<int>, not array<bigint>
