@@ -201,7 +201,11 @@ object Bench {
     val levels = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORES", "2,8")
       .split(",").map(_.trim.toInt).toSeq
     val lo = levels.min; val hi = levels.max
-    val order = (0 until trials).flatMap(t => if (t % 2 == 0) Seq(lo, hi) else Seq(hi, lo))
+    // asymmetric sampling: the high level needs `hi` simultaneously free
+    // host cores, so its clean windows are rarer — give it the extra
+    // trials (lo: trials-1, hi: trials+1), interleaved
+    val order = ((0 until trials - 1).flatMap(t => if (t % 2 == 0) Seq(lo, hi) else Seq(hi, lo)) ++
+      Seq(hi, hi)).take(2 * trials)
     val best = scala.collection.mutable.Map.empty[Int, Double]
     order.zipWithIndex.foreach { case (cores, i) =>
       subprocessRun(cores, warmPath, inputPath) match {
