@@ -15,13 +15,21 @@ import graft.sig.Signatures
   */
 object Embeddings {
 
-  /** dot(a, b) as a left-fold in double — no UDF. */
-  def dotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** dot(a, b): native codegen'd multiply-add scan (FloatDotProduct) —
+    * bit-identical to the previous aggregate(zip_with(...)) fold and to
+    * DuckDB's list_dot_product, without the per-pair intermediate array.
+    */
+  def dotCol(a: Column, b: Column): Column = graft.functions.FloatDotProduct(a, b)
 
   def cosineCol(a: Column, b: Column): Column =
     dotCol(a, b) / (sqrt(dotCol(a, a)) * sqrt(dotCol(b, b)))
+
+  /** sqrt(v·v), hoisted ONCE per vector before pairing — the O(n) side of
+    * the O(n²) cosine computation (norm value identical to computing it
+    * per pair, so oracle hashes are unchanged).
+    */
+  private def withNorm(df: DataFrame, vCol: String, normName: String): DataFrame =
+    df.withColumn(normName, sqrt(dotCol(col(vCol), col(vCol))))
 
   /** Exact top-k neighbors by cosine for a set of query vectors.
     * Plan shape: broadcast the (small) query side, one shuffle for the
@@ -29,10 +37,12 @@ object Embeddings {
     */
   def topK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val v = vectors.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+    val q = withNorm(queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      "qv", "qn")
+    val v = withNorm(vectors.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
+      "nv", "nn")
     val scored = v.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosineCol(col("qv"), col("nv")))
+      .withColumn("cosine", dotCol(col("qv"), col("nv")) / (col("qn") * col("nn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -41,13 +51,13 @@ object Embeddings {
   }
 
   /** All pairs with cosine >= threshold (exact, for moderate n; the LSH
-    * variant bounds candidates at scale).
+    * variant bounds candidates at scale). Norms hoisted to the O(n) side.
     */
   def thresholdPairs(vectors: DataFrame, threshold: Double): DataFrame = {
-    val a = vectors.select(col("vec_id").as("id1"), col("embedding").as("v1"))
-    val b = vectors.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+    val a = withNorm(vectors.select(col("vec_id").as("id1"), col("embedding").as("v1")), "v1", "n1")
+    val b = withNorm(vectors.select(col("vec_id").as("id2"), col("embedding").as("v2")), "v2", "n2")
     a.join(b, col("id1") < col("id2"))
-      .withColumn("cosine", cosineCol(col("v1"), col("v2")))
+      .withColumn("cosine", dotCol(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .where(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), col("cosine"))
   }
@@ -121,13 +131,15 @@ object Embeddings {
     val cents = ivfCentroids(numCells, dim, seed)
     val cellOf = ivfCellsUdf(cents, 1)
     val probeOf = ivfCellsUdf(cents, nprobe)
-    val cells = vectors.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
-      explode(cellOf(col("embedding"))).as("cell"))
-    val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-      explode(probeOf(col("embedding"))).as("cell"))
+    val cells = withNorm(
+      vectors.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+        explode(cellOf(col("embedding"))).as("cell")), "nv", "nn")
+    val probes = withNorm(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(probeOf(col("embedding"))).as("cell")), "qv", "qn")
     val scored = cells.join(broadcast(probes), Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosineCol(col("qv"), col("nv")))
+      .withColumn("cosine", dotCol(col("qv"), col("nv")) / (col("qn") * col("nn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     // each vector lives in exactly one cell, so a (query, neighbor) pair
@@ -151,10 +163,10 @@ object Embeddings {
     val keyed = lshBuckets(vectors, dim, bits, bands, seed)
       .select(col("vec_id").as("id"), col("bucket").as("key"))
     val cands = graft.block.Blocking.pairsFromKeys(keyed, Some(2000))
-    val a = vectors.select(col("vec_id").as("id1"), col("embedding").as("v1"))
-    val b = vectors.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+    val a = withNorm(vectors.select(col("vec_id").as("id1"), col("embedding").as("v1")), "v1", "n1")
+    val b = withNorm(vectors.select(col("vec_id").as("id2"), col("embedding").as("v2")), "v2", "n2")
     cands.join(a, Seq("id1")).join(b, Seq("id2"))
-      .withColumn("cosine", cosineCol(col("v1"), col("v2")))
+      .withColumn("cosine", dotCol(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .where(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), col("cosine"))
   }

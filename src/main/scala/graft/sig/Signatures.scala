@@ -34,10 +34,21 @@ object Signatures {
 
   // ---------------------------------------------------------------- hash60
 
+  private val mdLocal: ThreadLocal[MessageDigest] = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
   def hash60(s: String): Long = {
-    val md = MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    // value of the first 15 hex chars of the digest = first 7.5 bytes:
+    // bytes 0..6 then the high nibble of byte 7 (same result as formatting
+    // a hex string and parsing it, without the per-byte formatting cost)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    (v << 4) | ((d(7) & 0xF0L) >>> 4)
   }
 
   def hash60Col(c: Column): Column =
