@@ -98,6 +98,15 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Process CPU time (all threads), seconds — for CPU-based efficiency
+    * reporting next to wall clock.
+    */
+  private def processCpuSec(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
+
   /** Materialize the deterministic input once as parquet (untimed) — the
     * timed run then measures the ENGINE on a columnar source scan, as in
     * production, not the image encoder.
@@ -120,29 +129,55 @@ object Bench {
     c
   }
 
+  private def gcSec(): Double = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum / 1e3
+  }
+
   /** One scaling run, in-process: warm at small n (codegen + JIT), then
     * timed at benchN. Used by the subprocess entry and as fallback.
+    * Returns (wall sec, process CPU sec, GC pause sec) of the timed pass.
     */
-  def timedRun(cores: Int, warmPath: String, inputPath: String): Double = {
+  def timedRun(cores: Int, warmPath: String, inputPath: String): (Double, Double, Double) = {
     val s = session(cores, dirBytes(inputPath))
     try {
       pipelineRun(s, warmPath)
       primeCache(inputPath)
-      time(pipelineRun(s, inputPath))
+      val cpu0 = processCpuSec()
+      val gc0 = gcSec()
+      val wall = time(pipelineRun(s, inputPath))
+      (wall, if (cpu0 < 0) -1.0 else processCpuSec() - cpu0, gcSec() - gc0)
     } finally s.stop()
   }
 
-  /** Spawn one scaling run in a fresh JVM; None if the subprocess fails or
-    * exceeds the watchdog timeout (a host-stall casualty — the trial is
-    * dropped rather than poisoning the minimum).
+  /** Spawn one scaling run in a fresh JVM PINNED to a real cpuset; None if
+    * the subprocess fails or exceeds the watchdog timeout (a host-stall
+    * casualty — the trial is dropped rather than poisoning the minimum).
+    *
+    * Pinning protocol (round-2 verdict): `local[N]` bounds TASK SLOTS, not
+    * JVM cores — GC, netty, JIT and parquet compression threads run on any
+    * host core, so an unpinned low level borrows far more than N cores and
+    * the N->4N ratio structurally understates the engine (the round-2
+    * 546/290 s decomposition implied ~205 s of "fixed" overhead that was
+    * really leaked parallelism). `taskset -c 0..N-1` confines the WHOLE
+    * process to N cores and `-XX:ActiveProcessorCount=N` sizes the JVM's
+    * internal pools to match. Returns (wall sec, process CPU sec).
     */
-  private def subprocessRun(cores: Int, warmPath: String, inputPath: String): Option[Double] = {
+  private def subprocessRun(cores: Int, warmPath: String,
+                            inputPath: String): Option[(Double, Double, Double)] = {
     import scala.sys.process._
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
     val mem = sys.env.getOrElse("SPARK_GRAFT_SUB_MEM", "36g")
-    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_RUN_TIMEOUT", "900").toLong
-    val cmd = Seq(javaBin, s"-Xmx$mem") ++ addOpens ++ Seq(
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_RUN_TIMEOUT", "1800").toLong
+    val pin =
+      if (sys.env.get("SPARK_GRAFT_NO_PIN").contains("1")) Seq.empty
+      else if (new java.io.File("/usr/bin/taskset").exists())
+        Seq("/usr/bin/taskset", "-c", s"0-${cores - 1}")
+      else Seq.empty
+    val cmd = pin ++ Seq(javaBin, s"-Xmx$mem",
+      s"-XX:ActiveProcessorCount=$cores") ++ addOpens ++ Seq(
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       "-cp", cp, "graft.BenchPipeline", cores.toString, warmPath, inputPath)
     val out = new StringBuilder
@@ -153,8 +188,14 @@ object Bench {
     val rc = try done.get(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
     catch { case _: java.util.concurrent.TimeoutException => p.destroy(); -1 }
     if (rc != 0) None
-    else "GRAFT_PIPELINE_SEC=([0-9.]+)".r
-      .findFirstMatchIn(out.synchronized(out.toString)).map(_.group(1).toDouble)
+    else {
+      val text = out.synchronized(out.toString)
+      def metric(name: String): Option[Double] =
+        (name + "=([0-9.eE+-]+)").r.findFirstMatchIn(text).map(_.group(1).toDouble)
+      metric("GRAFT_PIPELINE_SEC").map(w =>
+        (w, metric("GRAFT_PIPELINE_CPU_SEC").getOrElse(-1.0),
+          metric("GRAFT_PIPELINE_GC_SEC").getOrElse(-1.0)))
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -207,22 +248,39 @@ object Bench {
     val order = ((0 until trials - 1).flatMap(t => if (t % 2 == 0) Seq(lo, hi) else Seq(hi, lo)) ++
       Seq(hi, hi)).take(2 * trials)
     val best = scala.collection.mutable.Map.empty[Int, Double]
+    val bestCpu = scala.collection.mutable.Map.empty[Int, Double]
+    val bestGc = scala.collection.mutable.Map.empty[Int, Double]
+    val survived = scala.collection.mutable.Map.empty[Int, Int].withDefaultValue(0)
     order.zipWithIndex.foreach { case (cores, i) =>
       subprocessRun(cores, warmPath, inputPath) match {
-        case Some(t) =>
-          System.err.println(f"[bench] run ${i + 1}/${order.size} cores=$cores sec=$t%.1f")
-          best(cores) = math.min(best.getOrElse(cores, Double.MaxValue), t)
+        case Some((t, cpu, gc)) =>
+          System.err.println(
+            f"[bench] run ${i + 1}/${order.size} cores=$cores sec=$t%.1f cpu=$cpu%.1f gc=$gc%.1f")
+          survived(cores) += 1
+          if (t < best.getOrElse(cores, Double.MaxValue)) {
+            best(cores) = t; bestCpu(cores) = cpu; bestGc(cores) = gc
+          }
         case None =>
           System.err.println(s"[bench] run ${i + 1}/${order.size} cores=$cores dropped (failed/timeout)")
       }
     }
-    // a level with zero surviving subprocess trials falls back in-process
-    Seq(lo, hi).filterNot(best.contains).foreach { cores =>
-      best(cores) = timedRun(cores, warmPath, inputPath)
+    // A level with ZERO surviving subprocess trials falls back in-process —
+    // an invalid measurement mode (driver-JVM GC coupling, no cpuset pin).
+    // The fallback is FLAGGED in the JSON so the consumer can reject the
+    // number instead of mistaking it for a pinned measurement.
+    val fellBack = Seq(lo, hi).filterNot(best.contains)
+    fellBack.foreach { cores =>
+      val (w, c, g) = timedRun(cores, warmPath, inputPath)
+      best(cores) = w; bestCpu(cores) = c; bestGc(cores) = g
     }
     val thrLo = benchN / best(lo)
     val thrHi = benchN / best(hi)
     val eff = (thrHi / thrLo) / (hi.toDouble / lo)
+    // CPU-side views: utilization = cpu/(wall*cores) at each level (how much
+    // of the pinned cpuset the engine actually used), and work growth =
+    // cpuHi/cpuLo (1.0 = perfect: 4x cores did the same total work)
+    def util(c: Int) = if (bestCpu(c) <= 0) -1.0 else bestCpu(c) / (best(c) * c)
+    val workGrowth = if (bestCpu(lo) <= 0 || bestCpu(hi) <= 0) -1.0 else bestCpu(hi) / bestCpu(lo)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -232,6 +290,13 @@ object Bench {
       s""""pipeline_n":$benchN,"cores_n":$lo,"cores_4n":$hi,""" +
       s""""images_per_sec_n":${thrLo},"images_per_sec_4n":${thrHi},""" +
       s""""pipeline_sec_n":${best(lo)},"pipeline_sec_4n":${best(hi)},""" +
+      s""""cpu_sec_n":${bestCpu(lo)},"cpu_sec_4n":${bestCpu(hi)},""" +
+      s""""gc_sec_n":${bestGc(lo)},"gc_sec_4n":${bestGc(hi)},""" +
+      s""""cpu_util_n":${util(lo)},"cpu_util_4n":${util(hi)},""" +
+      s""""cpu_work_growth":$workGrowth,""" +
+      s""""trials_n":${survived(lo)},"trials_4n":${survived(hi)},""" +
+      s""""fallback_levels":${fellBack.mkString("[", ",", "]")},""" +
+      s""""pinned":${!sys.env.get("SPARK_GRAFT_NO_PIN").contains("1")},""" +
       s""""scaling_efficiency":$eff}""")
   }
 }
@@ -242,8 +307,10 @@ object Bench {
 object BenchPipeline {
   def main(args: Array[String]): Unit = {
     val Array(cores, warmPath, inputPath) = args
-    val t = Bench.timedRun(cores.toInt, warmPath, inputPath)
-    println(s"GRAFT_PIPELINE_SEC=$t")
+    val (wall, cpu, gc) = Bench.timedRun(cores.toInt, warmPath, inputPath)
+    println(s"GRAFT_PIPELINE_SEC=$wall")
+    println(s"GRAFT_PIPELINE_CPU_SEC=$cpu")
+    println(s"GRAFT_PIPELINE_GC_SEC=$gc")
     sys.exit(0)
   }
 }

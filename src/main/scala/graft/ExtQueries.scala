@@ -342,6 +342,32 @@ FROM pairs p
 JOIN customer a ON a.c_custkey = p.id1
 JOIN customer b ON b.c_custkey = p.id2"""
 
+  /** Temporal scaledDifference surface (ref `CommonSimilarityMeasures
+    * .java:369-373` DAYS form): same-customer URGENT order pairs scored by
+    * order-date proximity at maxDays=30 — the date analog of
+    * `sim_measures`' numeric bal_sim. The co-grouped self-join shuffles on
+    * o_custkey once; per-key fan-out is bounded by order count per
+    * customer.
+    */
+  def simTemporal(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    val a = o.select(col("o_custkey"), col("o_orderkey").as("id1"), col("o_orderdate").as("d1"))
+    val b = o.select(col("o_custkey"), col("o_orderkey").as("id2"), col("o_orderdate").as("d2"))
+    a.join(b, Seq("o_custkey")).where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        graft.similarity.Sims.scaledDifferenceDays(30.0)(col("d1"), col("d2")).as("date_sim"))
+  }
+
+  private val simTemporalSql =
+    """WITH o AS (
+  SELECT o_custkey, o_orderkey, o_orderdate FROM orders
+  WHERE o_orderpriority = '1-URGENT')
+SELECT a.o_orderkey AS id1, b.o_orderkey AS id2,
+  greatest(0.0, 1.0 - abs(date_diff('day', a.o_orderdate::DATE, b.o_orderdate::DATE))::DOUBLE / 30.0)
+    AS date_sim
+FROM o a JOIN o b ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey"""
+
   // ------------------------------------------ collection similarity surface
 
   /** Collection-valued similarity measures over candidate token bags — the
@@ -539,11 +565,24 @@ SELECT DISTINCT least(id, p) AS id1, greatest(id, p) AS id2 FROM u WHERE p IS NO
     * in OpsSpec (float summation is not oracle-portable).
     */
   val mmMetaPath = "/tmp/graft_mm_meta"
+  private val mmMetaLock = new Object
+
+  /** The metadata side table is a pure function of the generator seed, so
+    * it is written AT MOST ONCE per host (skipped when the _SUCCESS marker
+    * exists): re-runs and concurrent sessions read the identical bytes
+    * instead of racing an overwrite, and repeat invocations of the query
+    * are side-effect-free.
+    */
+  private def ensureMmMeta(gen: org.apache.spark.sql.Dataset[graft.gen.ImageGen.GenRecord]): Unit =
+    mmMetaLock.synchronized {
+      if (!new java.io.File(mmMetaPath, "_SUCCESS").exists())
+        gen.toDF().select(col("image_id"), col("fmt"), col("w"), col("h"))
+          .coalesce(1).write.mode("overwrite").parquet(mmMetaPath)
+    }
 
   def mmStats(spark: SparkSession, dir: String): DataFrame = {
     val gen = graft.gen.ImageGen.generate(spark, 400L, seed = 7L, partitions = 8)
-    gen.toDF().select(col("image_id"), col("fmt"), col("w"), col("h"))
-      .coalesce(1).write.mode("overwrite").parquet(mmMetaPath)
+    ensureMmMeta(gen)
     val images = graft.gen.ImageGen.asImages(gen).toDF()
     Multimodal.decodeStats(Multimodal.decodeFeatures(images))
   }
@@ -568,6 +607,7 @@ FROM read_parquet('$mmMetaPath/*.parquet') GROUP BY fmt"""
     "classify_rules" -> (classifyRules _),
     "fuse_canonical" -> (fuseCanonical _),
     "sim_measures" -> (simMeasures _),
+    "sim_temporal" -> (simTemporal _),
     "snm_multipass" -> (snmMultipass _),
     "ev_hourly" -> (evHourly _),
     "refine_clusters" -> (refineClusters _),
@@ -586,6 +626,7 @@ FROM read_parquet('$mmMetaPath/*.parquet') GROUP BY fmt"""
     "classify_rules" -> classifyRulesSql,
     "fuse_canonical" -> fuseCanonicalSql,
     "sim_measures" -> simMeasuresSql,
+    "sim_temporal" -> simTemporalSql,
     "snm_multipass" -> snmMultipassSql,
     "ev_hourly" -> evHourlySql,
     "mm_stats" -> mmStatsSql,

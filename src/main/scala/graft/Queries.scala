@@ -45,9 +45,16 @@ object Queries {
     table(spark, dir, "documents")
       .select(col("doc_id"), Signatures.normalizeCol(col("text")).as("norm"))
 
+  /** Memoized (id, shs) char-5 STRING shingles — `dd_minhash_lsh` references
+    * this frame three times (band keys + both verify sides); without the
+    * memo the md5-based shingling subtree is evaluated 3x (round-2 bench:
+    * 15.9 s, the most expensive query).
+    */
   private def docCharShingles(spark: SparkSession, dir: String): DataFrame =
-    docNorm(spark, dir)
-      .select(col("doc_id").as("id"), Signatures.shinglesCol(col("norm"), lshCfg.shingleK).as("shs"))
+    QueryCache.memo(spark, "char_shs", dir) {
+      docNorm(spark, dir)
+        .select(col("doc_id").as("id"), Signatures.shinglesCol(col("norm"), lshCfg.shingleK).as("shs"))
+    }
 
   /** Memoized (id, shs): SORTED hash60 word-ngram shingle arrays — the
     * shared feature stage of the five ngram-family queries. Hashing is
@@ -155,9 +162,12 @@ ${OracleGen.jaccardVerifySql(minhashJaccardT)}"""
     * bit-block blocking (4 x 15-bit blocks), Hamming verify.
     */
   def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = docNorm(spark, dir)
-    val sims = docs.select(col("doc_id").as("id"),
-      Signatures.simHashCol(Signatures.wordsCol(col("norm")), 60).as("sh"))
+    // memoized: the sims frame feeds the blocking index AND both verify
+    // sides — same 3x-recompute shape as dd_minhash_lsh
+    val sims = QueryCache.memo(spark, "simhash_sig", dir) {
+      docNorm(spark, dir).select(col("doc_id").as("id"),
+        Signatures.simHashWordsCol(col("norm"), 60).as("sh"))
+    }
     val cands = Blocking.bitBlockPairs(sims, "id", "sh", simhashBlocks, 60, Some(bucketCap))
     val s1 = sims.select(col("id").as("id1"), col("sh").as("h1"))
     val s2 = sims.select(col("id").as("id2"), col("sh").as("h2"))
@@ -179,14 +189,23 @@ WHERE bit_count(xor(a.sh, b.sh)) <= $simhashMaxHamming"""
     * north_star): A's normalized text contained verbatim in B's.
     */
   def ddSubstring(spark: SparkSession, dir: String): DataFrame =
-    Blocking.substringPairs(docNorm(spark, dir), "doc_id", "norm", substringK)
+    Blocking.substringPairs(docNorm(spark, dir), "doc_id", "norm", substringK,
+      Some(bucketCap))
 
+  /** Oracle mirror of the probe-side prefix cap: a first-k-gram shared by
+    * more than `bucketCap` probes is dropped from probing (the Spark path's
+    * skew guard), so the oracle joins probes through the surviving-key CTE.
+    */
   private val ddSubstringSql =
-    s"""WITH ${OracleGen.nrmCte}
+    s"""WITH ${OracleGen.nrmCte},
+probe AS (
+  SELECT doc_id, norm, substr(norm, 1, $substringK) AS key
+  FROM nrm WHERE length(norm) >= $substringK),
+okk AS (
+  SELECT key FROM probe GROUP BY key HAVING count(*) <= $bucketCap)
 SELECT DISTINCT least(a.doc_id, b.doc_id) AS id1, greatest(a.doc_id, b.doc_id) AS id2
-FROM nrm a JOIN nrm b
+FROM probe a JOIN okk USING (key) JOIN nrm b
   ON a.doc_id <> b.doc_id
- AND length(a.norm) >= $substringK
  AND length(a.norm) <= length(b.norm)
  AND strpos(b.norm, a.norm) > 0"""
 

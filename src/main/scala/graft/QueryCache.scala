@@ -30,10 +30,18 @@ object QueryCache {
     val hit = cache.get(key)
     if (hit != null) hit
     else {
-      // evict entries from other sessions (their persisted blocks die with
-      // the session; holding the references would just leak plans)
-      val it = cache.keySet().iterator()
-      while (it.hasNext) { if (!it.next().startsWith(sid + "|")) it.remove() }
+      // evict entries from other sessions — and unpersist them, because the
+      // owning CONTEXT may still be alive (sessions share a SparkContext):
+      // without the unpersist each retired session leaks its persisted
+      // blocks for the life of the JVM. Stopped contexts throw; swallowed.
+      val it = cache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (!e.getKey.startsWith(sid + "|")) {
+          scala.util.Try(e.getValue.unpersist(false))
+          it.remove()
+        }
+      }
       // NOT computeIfAbsent: stages nest (cc_assign builds ngram_scored
       // builds ngram_shs), and nested computeIfAbsent on one
       // ConcurrentHashMap throws "Recursive update" when keys share a bin.

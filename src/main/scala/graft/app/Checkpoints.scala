@@ -76,15 +76,18 @@ object Checkpoints {
   def skewMetricsJson(feats: DataFrame, cfg: graft.model.DedupConfig): String = {
     import graft.block.Blocking
     import graft.sig.Signatures
+    // the stats run over the SAME long keys the pipeline blocks on
+    // (Blocking.keyedUnion's three namespaces), so the sidecar reports the
+    // real buckets, not a parallel reconstruction
     val sig = Signatures.minHashFromHashesCol(col("shs"), cfg)
     val passes = Seq(
       "lsh" -> feats.select(col("id"),
-        explode(Signatures.bandKeysCol(sig, cfg.bands)).as("key")),
+        explode(Signatures.bandHashKeysCol(sig, cfg.bands)).as("key")),
       "simhash" -> feats.select(col("id"),
-        explode(Signatures.bitBlockKeysCol(col("simhash"),
-          cfg.simhashBits / cfg.simhashBandBits, cfg.simhashBits)).as("key")),
+        explode(Blocking.packedBitBlockKeys(col("simhash"),
+          cfg.simhashBits / cfg.simhashBandBits, cfg.simhashBits, 1L)).as("key")),
       "phash" -> feats.select(col("id"),
-        explode(Signatures.bitBlockKeysCol(col("phash"), cfg.phashBlocks, 64)).as("key")))
+        explode(Blocking.packedBitBlockKeys(col("phash"), cfg.phashBlocks, 64, 2L)).as("key")))
     passes.map { case (name, keyed) =>
       val r = Blocking.bucketStats(keyed, cfg.maxBucketSize).head()
       s"""{"pass":"$name","n_buckets":${r.getLong(0)},"n_dropped_buckets":${r.getLong(1)},""" +
@@ -109,7 +112,17 @@ object Checkpoints {
     }
     val scored = scoredDf.as[Pipeline.ScoredEdge]
     val assign0 = cp.stage("04_assign_tc")(Pipeline.cluster(feats, scored))
-    val assign = cp.stage("05_assign_refined")(Pipeline.refine(assign0, feats, scored, cfg))
+    // ClusterSplitHandler contract (ref core/.../ClusterSplitHandler.java:
+    // 37-69; SURVEY.md §2.5): splits are observable in metrics. The counter
+    // only accumulates when the stage actually computes, so the sidecar is
+    // written exactly then (a resumed run keeps the original sidecar).
+    val refineComputed = !cp.isComplete("05_assign_refined")
+    val splits = spark.sparkContext.longAccumulator("n_split_clusters")
+    val assign = cp.stage("05_assign_refined")(
+      Pipeline.refine(assign0, feats, scored, cfg, splitCounter = Some(splits)))
+    if (refineComputed)
+      cp.writeMetrics("05_assign_refined_splits",
+        s"""{"stage":"05_assign_refined","n_split_clusters":${splits.value}}""")
     val slim = images.select(col("image_id"), col("caption"), col("fmt"),
       col("w"), col("h"), col("phash"))
     cp.stage("06_canonical")(Pipeline.fuse(slim, assign).toDF())

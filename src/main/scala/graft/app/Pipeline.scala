@@ -61,11 +61,8 @@ object Pipeline {
       norm.as("norm"),
       col("phash"),
       md5(col("bytes")).as("chash"))
-      .withColumn("shs",
-        array_sort(transform(Signatures.shinglesCol(col("norm"), cfg.shingleK),
-          s => Signatures.fastHashCol(s))))
-      .withColumn("simhash",
-        Signatures.simHashFastCol(Signatures.wordsCol(col("norm")), cfg.simhashBits))
+      .withColumn("shs", Signatures.hashedShinglesCol(col("norm"), cfg.shingleK))
+      .withColumn("simhash", Signatures.simHashFastCol(col("norm"), cfg.simhashBits))
   }
 
   /** Stage 2: multi-pass blocking — union of candidate passes, deduplicated

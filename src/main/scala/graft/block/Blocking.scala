@@ -85,23 +85,37 @@ object Blocking {
       .select(col("rep").as("id1"), col("other").as("id2"))
       .distinct()
 
-  /** Union of the three hash-keyed blocking passes as ONE (id, key) index:
-    * LSH band keys ("L:"), simhash bit-blocks ("S:"), phash bit-blocks
-    * ("P:") — pass-prefixed so buckets never collide across passes. One
-    * downstream groupBy pairs all three passes in a single shuffle.
+  /** Packed bit-block keys as pure Column arithmetic: key for block i of
+    * hash h is `(tag << 62) | (i << 52) | ((h >>> i*per) & mask)` — exact
+    * (injective per pass), no hashing, no strings. Requires per <= 52 and
+    * tag in 1..3 (tag 0 is the hashed-LSH-key namespace).
+    */
+  def packedBitBlockKeys(hCol: Column, blocks: Int, totalBits: Int, tag: Long): Column = {
+    val per = totalBits / blocks
+    require(per <= 52 && tag >= 1 && tag <= 3, s"packed key layout overflow: per=$per tag=$tag")
+    val mask = (1L << per) - 1
+    array((0 until blocks).map { i =>
+      lit((tag << 62) | (i.toLong << 52))
+        .bitwiseOR(shiftrightunsigned(hCol, i * per).bitwiseAND(lit(mask)))
+    }: _*)
+  }
+
+  /** Union of the three hash-keyed blocking passes as ONE (id, key) index
+    * with 8-byte LONG keys: hashed LSH band keys (58-bit, high tag bits 0),
+    * packed simhash blocks (tag 1), packed phash blocks (tag 2) — the
+    * namespaces are disjoint by construction, so buckets never mix across
+    * passes. One downstream groupBy pairs all three passes in a single
+    * shuffle, moving 8 bytes per key instead of a ~30-char string.
     */
   def keyedUnion(feats: DataFrame, cfg: DedupConfig): DataFrame = {
     val sig = Signatures.minHashFromHashesCol(col("shs"), cfg)
     val lsh = feats.select(col("id"),
-      explode(Signatures.bandKeysCol(sig, cfg.bands)).as("k0"))
-      .select(col("id"), concat(lit("L:"), col("k0")).as("key"))
+      explode(Signatures.bandHashKeysCol(sig, cfg.bands)).as("key"))
     val sim = feats.select(col("id"),
-      explode(Signatures.bitBlockKeysCol(col("simhash"),
-        cfg.simhashBits / cfg.simhashBandBits, cfg.simhashBits)).as("k0"))
-      .select(col("id"), concat(lit("S:"), col("k0")).as("key"))
+      explode(packedBitBlockKeys(col("simhash"),
+        cfg.simhashBits / cfg.simhashBandBits, cfg.simhashBits, 1L)).as("key"))
     val ph = feats.select(col("id"),
-      explode(Signatures.bitBlockKeysCol(col("phash"), cfg.phashBlocks, 64)).as("k0"))
-      .select(col("id"), concat(lit("P:"), col("k0")).as("key"))
+      explode(packedBitBlockKeys(col("phash"), cfg.phashBlocks, 64, 2L)).as("key"))
     lsh.unionAll(sim).unionAll(ph)
   }
 
@@ -143,6 +157,7 @@ object Blocking {
     */
   def snmPairs(records: DataFrame, idCol: String, keyCol: Column, window: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    if (window < 2) return snmPairsScalable(records, idCol, keyCol, window)
     val w = Window.orderBy(col("key"), col("id"))
     val base = records.select(col(idCol).as("id"), keyCol.as("key")).where(col("key").isNotNull)
     val withLags = (1 until window).foldLeft(base) { (df, i) =>
@@ -177,6 +192,15 @@ object Blocking {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = records.sparkSession
+    // degenerate window: w-1 = 0 comparisons per record — return an empty
+    // pair frame instead of letting sequence(rn+1, rn+0) run DESCENDING
+    // (which would probe self + successor and fabricate pairs)
+    if (window < 2) {
+      val idField = records.select(col(idCol)).schema.head
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(idField.copy(name = "id1"), idField.copy(name = "id2"))))
+    }
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions

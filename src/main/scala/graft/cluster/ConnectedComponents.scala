@@ -119,12 +119,28 @@ object ConnectedComponents {
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       System.err.println(s"[cc] rounds=$iter converged=$converged")
 
+    // The final round's RDD must stay persisted until the CALLER materializes
+    // the assignment (the result below is lazy), so it can't be released
+    // here. Bound the leak to one live RDD per context instead: the next
+    // run() in the same SparkContext unpersists the previous run's final
+    // RDD (its lineage stays recomputable, so a still-cached consumer frame
+    // remains correct, just slower on a cold re-read).
+    val prevFinal = lastFinal.put(spark.sparkContext.applicationId, eRdd)
+    if ((prevFinal ne null) && (prevFinal ne eRdd))
+      scala.util.Try(prevFinal.unpersist(false))
+
     // after convergence e is a star forest: (bigger -> component min)
     val members = e.select(col("u").as("id"), col("v").as("cluster_id"))
     val roots = e.select(col("v").as("id"), col("v").as("cluster_id")).distinct()
     members.unionAll(roots)
       .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
   }
+
+  /** Last fixpoint-final RDD per SparkContext — see the release note in
+    * [[runLoop]].
+    */
+  private val lastFinal =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.rdd.RDD[_]]()
 
   /** Incremental re-clustering: union the previous assignment (as
     * member->cluster_id star edges) with the new DUPLICATE edges before CC —

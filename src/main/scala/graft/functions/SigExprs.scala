@@ -1,0 +1,393 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst forms of the signature kernels (MinHash, LSH band keys,
+  * SimHash, bit-block keys, hashed shingles).
+  *
+  * These replace the Scala UDFs that used to implement the feature stage of
+  * the dedup pipeline (boxed `Seq[String]`/`Seq[Long]` per row — the largest
+  * allocation source in the hottest path; BASELINE.md names GC rate as the
+  * main non-scaling residue). Each expression is one static JVM call per row
+  * operating directly on `ArrayData`/`UTF8String` buffers: no boxing, no
+  * Seq wrappers, and the projection stays inside whole-stage codegen.
+  *
+  * Semantics are IDENTICAL to the Scala kernels in [[graft.sig.Signatures]]
+  * (unit-tested for equality), so every oracle hash and the pipeline recall
+  * are unchanged.
+  *
+  * PRECONDITION shared by the byte-window kernels ([[HashedShingles]],
+  * [[SimHashWords]]): the input string is output of
+  * [[graft.functions.NormalizeText]] (pure ASCII `[a-z0-9 ]`), so byte
+  * offsets equal char offsets. That is the only form the pipeline feeds.
+  */
+object SigKernels {
+
+  /** Mersenne prime 2^31-1 (MinHash permutation modulus). */
+  val P: Long = 2147483647L
+
+  private val XXSEED = 42L // Signatures.fastHash seed (xxhash64 default)
+
+  // ------------------------------------------------------------- minhash
+
+  /** MinHash signature from pre-hashed shingles: for each permutation i,
+    * min over shingles of (a_i * floorMod(h, P) + b_i) mod P. Empty array
+    * yields the all-zeros signature (matches Signatures.minHashFromHashes).
+    */
+  def minHashFromHashes(hs: ArrayData, a: Array[Long], b: Array[Long]): ArrayData = {
+    val n = a.length
+    val m = hs.numElements()
+    val sig = new Array[Long](n)
+    if (m == 0) return UnsafeArrayData.fromPrimitiveArray(sig)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var j = 0
+    while (j < m) {
+      val h = java.lang.Math.floorMod(hs.getLong(j), P)
+      var i = 0
+      while (i < n) {
+        val v = (a(i) * h + b(i)) % P
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  // ------------------------------------------------------------ band keys
+
+  /** String LSH band keys, `"band:v1,v2,...,vr"` — the exact strings
+    * [[graft.sig.Signatures.bandKeys]] produces (and the DuckDB oracle
+    * mirrors with `string_agg`).
+    */
+  def bandKeyStrings(sig: ArrayData, bands: Int): ArrayData = {
+    val n = sig.numElements()
+    val r = n / bands
+    val out = new Array[Any](bands)
+    val sb = new java.lang.StringBuilder(r * 11 + 4)
+    var bIdx = 0
+    while (bIdx < bands) {
+      sb.setLength(0)
+      sb.append(bIdx).append(':')
+      var j = 0
+      while (j < r) {
+        if (j > 0) sb.append(',')
+        sb.append(sig.getLong(bIdx * r + j))
+        j += 1
+      }
+      out(bIdx) = UTF8String.fromString(sb.toString)
+      bIdx += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Hashed LSH band keys for the pipeline's long-keyed blocking index:
+    * a 64-bit mix of (band index, band values), masked to 58 bits so the
+    * high 6 bits are zero — the key space is namespaced against the packed
+    * bit-block keys (tag bits 62-63 nonzero there). A cross-band collision
+    * only adds a candidate pair, which verification rejects; it can never
+    * drop one.
+    */
+  def bandHashKeys(sig: ArrayData, bands: Int): ArrayData = {
+    val n = sig.numElements()
+    val r = n / bands
+    val out = new Array[Long](bands)
+    var bIdx = 0
+    while (bIdx < bands) {
+      var h = 0x9E3779B97F4A7C15L ^ (bIdx * 0xC2B2AE3D27D4EB4FL)
+      var j = 0
+      while (j < r) {
+        h = java.lang.Long.rotateLeft(h ^ (sig.getLong(bIdx * r + j) * 0xC2B2AE3D27D4EB4FL), 31) *
+          0x9E3779B97F4A7C15L
+        j += 1
+      }
+      h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33)
+      out(bIdx) = h & 0x03FFFFFFFFFFFFFFL
+      bIdx += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  // ------------------------------------------------------ bit-block keys
+
+  /** Pigeonhole bit-block keys as strings `"i:v"` (mirrored by the DuckDB
+    * oracle's `g.i || ':' || ((sh >> (g.i*per)) & mask)`).
+    */
+  def bitBlockKeyStrings(h: Long, blocks: Int, totalBits: Int): ArrayData = {
+    val per = totalBits / blocks
+    val mask = (1L << per) - 1
+    val out = new Array[Any](blocks)
+    var i = 0
+    while (i < blocks) {
+      out(i) = UTF8String.fromString(i.toString + ":" + ((h >>> (i * per)) & mask))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  // --------------------------------------------------------- byte windows
+
+  /** Sorted distinct xxhash64(seed 42) values of all k-byte windows of an
+    * ASCII string — equal as a SET to hashing the distinct char k-shingles
+    * (Signatures.shingles(s,k).map(fastHash)). Strings shorter than k yield
+    * the single whole-string hash, so no record is unblockable.
+    */
+  def hashedShingles(s: UTF8String, k: Int): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val n = s.numBytes()
+    if (n < k)
+      return UnsafeArrayData.fromPrimitiveArray(
+        Array(XXH64.hashUnsafeBytes(base, off, n, XXSEED)))
+    val m = n - k + 1
+    val arr = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      arr(i) = XXH64.hashUnsafeBytes(base, off + i, k, XXSEED)
+      i += 1
+    }
+    java.util.Arrays.sort(arr)
+    var w = 1
+    var rd = 1
+    while (rd < m) {
+      if (arr(rd) != arr(rd - 1)) { arr(w) = arr(rd); w += 1 }
+      rd += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (w == m) arr else java.util.Arrays.copyOf(arr, w))
+  }
+
+  /** SimHash over the space-separated tokens of an ASCII string, without
+    * materializing the token array. Tokenization matches Spark's
+    * `split(c, " ")` (limit -1: interior AND trailing empty tokens are
+    * kept); the empty string yields no tokens (simhash 0) — exactly
+    * `simHashWith(wordsCol semantics, bits, hashFn)`.
+    *
+    * @param fast true -> xxhash64(seed 42) per token (pipeline);
+    *             false -> the md5-based hash60 (oracle-mirrored catalog).
+    */
+  def simHashWords(s: UTF8String, bits: Int, fast: Boolean): Long = {
+    val n = s.numBytes()
+    if (n == 0) return 0L
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val acc = new Array[Int](bits)
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || Platform.getByte(base, off + i) == ' ') {
+        val h =
+          if (fast) XXH64.hashUnsafeBytes(base, off + start, i - start, XXSEED)
+          else hash60Bytes(base, off + start, i - start)
+        var b = 0
+        while (b < bits) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  private val mdLocal: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** hash60 (first 60 bits of md5) over a byte window — equals
+    * Signatures.hash60 of the corresponding ASCII substring.
+    */
+  private def hash60Bytes(base: AnyRef, off: Long, len: Int): Long = {
+    val buf = new Array[Byte](len)
+    Platform.copyMemory(base, off, buf, Platform.BYTE_ARRAY_OFFSET, len)
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(buf)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    (v << 4) | ((d(7) & 0xF0L) >>> 4)
+  }
+}
+
+/** MinHash signature from an array<bigint> of pre-hashed shingles. */
+case class MinHashFromHashes(child: Expression, a: Array[Long], b: Array[Long])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash requires array<bigint>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    SigKernels.minHashFromHashes(input.asInstanceOf[ArrayData], a, b)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhA", a, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", b, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SigKernels.minHashFromHashes($c, $aRef, $bRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** String LSH band keys ("band:v1,v2,...") of a MinHash signature. */
+case class BandKeyStrings(child: Expression, bands: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"band_keys requires array<bigint>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    SigKernels.bandKeyStrings(input.asInstanceOf[ArrayData], bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SigKernels.bandKeyStrings($c, $bands)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Hashed (64-bit, 58-bit-masked) LSH band keys — the pipeline's compact
+  * long-keyed blocking index (8 bytes/key shuffled instead of a ~30-char
+  * string).
+  */
+case class BandHashKeys(child: Expression, bands: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"band_hash_keys requires array<bigint>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    SigKernels.bandHashKeys(input.asInstanceOf[ArrayData], bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SigKernels.bandHashKeys($c, $bands)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Pigeonhole bit-block keys ("i:v" strings) of a 64-bit hash column. */
+case class BitBlockKeyStrings(child: Expression, blocks: Int, totalBits: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bit_block_keys requires bigint, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    SigKernels.bitBlockKeyStrings(input.asInstanceOf[Long], blocks, totalBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SigKernels.bitBlockKeyStrings($c, $blocks, $totalBits)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Sorted distinct xxhash64 values of all char-k shingles of a normalized
+  * (ASCII) string — one call replacing the
+  * sequence->transform(substring)->xxhash64->array_distinct->array_sort
+  * expression chain and all its intermediate arrays.
+  */
+case class HashedShingles(child: Expression, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hashed_shingles requires string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    SigKernels.hashedShingles(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SigKernels.hashedShingles($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** SimHash over the space-separated tokens of a normalized (ASCII) string.
+  * fast=true hashes tokens with xxhash64 (pipeline); fast=false with the
+  * md5-based hash60 (oracle-mirrored catalog queries).
+  */
+case class SimHashWords(child: Expression, bits: Int, fast: Boolean)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash_words requires string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    SigKernels.simHashWords(input.asInstanceOf[UTF8String], bits, fast)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SigKernels.simHashWords($c, $bits, $fast)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Column-level constructors. */
+object SigExprs {
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+
+  def minHashFromHashes(c: Column, a: Array[Long], b: Array[Long]): Column =
+    column(MinHashFromHashes(expression(c), a, b))
+  def bandKeyStrings(c: Column, bands: Int): Column =
+    column(BandKeyStrings(expression(c), bands))
+  def bandHashKeys(c: Column, bands: Int): Column =
+    column(BandHashKeys(expression(c), bands))
+  def bitBlockKeyStrings(c: Column, blocks: Int, totalBits: Int): Column =
+    column(BitBlockKeyStrings(expression(c), blocks, totalBits))
+  def hashedShingles(c: Column, k: Int): Column =
+    column(HashedShingles(expression(c), k))
+  def simHashWords(c: Column, bits: Int, fast: Boolean): Column =
+    column(SimHashWords(expression(c), bits, fast))
+}

@@ -100,7 +100,19 @@ final case class DedupConfig(
     // 2 x 32-bit blocks: guarantees capture at Hamming <= 1 (identical or
     // near-identical pixels — re-encodes). 16-bit blocks collide randomly
     // on low-entropy hashes (measured ~1M junk pairs at 60k docs); deeper
-    // image-side recall comes from the caption passes of the union
+    // image-side recall comes from the caption passes of the union.
+    //
+    // CAPTURE CONTRACT of the bit-block passes: the pigeonhole guarantee is
+    // Hamming <= blocks-1 (simhash <= 2, phash <= 1) — NOT hammingThreshold.
+    // Pairs in the 3..hammingThreshold (resp. 2..hammingThreshold) band are
+    // caught only by the cross-pass union (LSH/exact/substring), so their
+    // recall is measured, not guaranteed: the pipeline recall gate
+    // (PipelineSpec, n=1000) and the pairs_dropped sidecars are the
+    // evidence, and hold for the synthetic generator's duplicate mix. If
+    // hammingThreshold or the block geometry changes — or the corpus
+    // clusters its near-dups in that band — RETUNE blocks against a fresh
+    // measured-recall run (tools/PassStats) rather than trusting this
+    // comment.
     phashBlocks: Int = 2,
     jaccardThreshold: Double = 0.8,
     hammingThreshold: Int = 8,

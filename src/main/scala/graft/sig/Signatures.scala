@@ -192,13 +192,6 @@ object Signatures {
     if (hs.isEmpty) Array.fill(n)(0L) else sig
   }
 
-  def minHashFromHashesCol(hashedShingles: Column, cfg: DedupConfig): Column = {
-    val a = seedsA(cfg.numHashes, cfg.seed)
-    val b = seedsB(cfg.numHashes, cfg.seed)
-    val f = udf((hs: Seq[Long]) => if (hs == null) null else minHashFromHashes(hs, a, b))
-    f(hashedShingles)
-  }
-
   /** LSH band keys: one string key per band, `band:v1,v2,...,vr` — plain
     * decimal renderings so a SQL oracle can reproduce them with string
     * concatenation of the same integers.
@@ -268,38 +261,60 @@ object Signatures {
     }
   }
 
-  // ----------------------------------------------------- Column-form UDFs
+  // --------------------------------------- Column forms (native, codegen'd)
+  // All signature Column APIs are native Catalyst expressions
+  // (graft.functions.SigExprs) — no Scala UDFs anywhere in the feature or
+  // blocking paths; the Scala functions above remain as the unit-test /
+  // in-memory-oracle mirrors.
 
-  /** MinHash signature as a Column (UDF over the shingle array).
-    * Registered per-config; the coefficients are closed over, so the UDF is
-    * deterministic and serializable.
+  import graft.functions.SigExprs
+
+  /** MinHash signature of a STRING shingle array (oracle-mirrored catalog
+    * path): hash60 each shingle with built-in md5/conv expressions, then the
+    * native MinHash kernel. Identical output to [[minHash]]: that path also
+    * reduces via hash60(sh) mod P first (floorMod == % for the non-negative
+    * 60-bit hash).
     */
-  def minHashCol(shinglesCol: Column, cfg: DedupConfig): Column = {
-    val a = seedsA(cfg.numHashes, cfg.seed)
-    val b = seedsB(cfg.numHashes, cfg.seed)
-    val f = udf((shs: Seq[String]) => if (shs == null) null else minHash(shs, a, b))
-    f(shinglesCol)
-  }
+  def minHashCol(shinglesCol: Column, cfg: DedupConfig): Column =
+    minHashFromHashesCol(transform(shinglesCol, s => hash60Col(s)), cfg)
 
-  def bandKeysCol(sigCol: Column, bands: Int): Column = {
-    val f = udf((sig: Seq[Long]) => if (sig == null) null else bandKeys(sig.toArray, bands))
-    f(sigCol)
-  }
+  def minHashFromHashesCol(hashedShingles: Column, cfg: DedupConfig): Column =
+    SigExprs.minHashFromHashes(hashedShingles,
+      seedsA(cfg.numHashes, cfg.seed), seedsB(cfg.numHashes, cfg.seed))
 
-  def simHashCol(tokensCol: Column, bits: Int): Column = {
-    val f = udf((toks: Seq[String]) => simHash(if (toks == null) Seq.empty else toks, bits))
-    f(tokensCol)
-  }
+  /** String band keys ("band:v1,v2,...") — exact mirror of [[bandKeys]] and
+    * the oracle's string_agg form.
+    */
+  def bandKeysCol(sigCol: Column, bands: Int): Column =
+    SigExprs.bandKeyStrings(sigCol, bands)
 
-  /** Pipeline-side SimHash over [[fastHash]] (xxhash64) token hashes. */
-  def simHashFastCol(tokensCol: Column, bits: Int): Column = {
-    val f = udf((toks: Seq[String]) =>
-      simHashWith(if (toks == null) Seq.empty else toks, bits, fastHash))
-    f(tokensCol)
-  }
+  /** Hashed long band keys — the pipeline's compact blocking index (8-byte
+    * keys; high 6 bits zero, namespaced against packed bit-block keys).
+    */
+  def bandHashKeysCol(sigCol: Column, bands: Int): Column =
+    SigExprs.bandHashKeys(sigCol, bands)
 
-  def bitBlockKeysCol(hCol: Column, blocks: Int, totalBits: Int): Column = {
-    val f = udf((h: Long) => bitBlockKeys(h, blocks, totalBits))
-    f(hCol)
-  }
+  /** SimHash of a normalized string's space-separated tokens, hash60 token
+    * hash (oracle-mirrored catalog path). Equals
+    * simHash(words(norm), bits).
+    */
+  def simHashWordsCol(normCol: Column, bits: Int): Column =
+    SigExprs.simHashWords(normCol, bits, fast = false)
+
+  /** Pipeline-side SimHash over xxhash64 token hashes, straight off the
+    * normalized string (no token array materialized). Equals
+    * simHashWith(words(norm), bits, fastHash).
+    */
+  def simHashFastCol(normCol: Column, bits: Int): Column =
+    SigExprs.simHashWords(normCol, bits, fast = true)
+
+  def bitBlockKeysCol(hCol: Column, blocks: Int, totalBits: Int): Column =
+    SigExprs.bitBlockKeyStrings(hCol, blocks, totalBits)
+
+  /** Sorted distinct xxhash64 char-k shingle hashes of a normalized string —
+    * the pipeline feature kernel (set-equal to
+    * shingles(norm,k).map(fastHash)).
+    */
+  def hashedShinglesCol(normCol: Column, k: Int): Column =
+    SigExprs.hashedShingles(normCol, k)
 }

@@ -71,6 +71,15 @@ object Sims {
   def scaledDifference(maxDiff: Double): CSim =
     nullSafe((l, r) => greatest(lit(0.0), lit(1.0) - abs(l - r) / maxDiff))
 
+  /** Temporal scaledDifference in DAYS over date/timestamp columns —
+    * max(0, 1-|days between|/maxDays), the ChronoUnit.DAYS form of the
+    * reference's Temporal overload (`CommonSimilarityMeasures.java:369-373`,
+    * used on birthdays in `PersonClassifier.java:54`).
+    */
+  def scaledDifferenceDays(maxDays: Double): CSim =
+    nullSafe((l, r) =>
+      greatest(lit(0.0), lit(1.0) - abs(datediff(l, r)).cast("double") / maxDays))
+
   /** Normalized Hamming similarity of two 64-bit hash columns. */
   def hammingSim(bits: Int): CSim =
     nullSafe((l, r) => lit(1.0) - bit_count(l.bitwiseXOR(r)).cast("double") / bits)

@@ -30,7 +30,12 @@ object StreamingDedup {
     *        cardinality and never expires — correct, and acceptable only
     *        for bounded keyspaces. Pass e.g. "24 hours" for the
     *        memory/exactness trade every large-scale streaming dedup makes
-    *        (a key seen again after the TTL is re-emitted).
+    *        (a key seen again after the TTL is re-emitted). NOTE: with a
+    *        TTL set, the engine schedules wall-clock timeout batches
+    *        indefinitely (processAllAvailable / AvailableNow never settle
+    *        — observed on Spark 4.1), and eviction is not replayable;
+    *        prefer [[firstPerKeyEventTime]], whose watermark-driven TTL is
+    *        deterministic and is covered by the e2e spec.
     */
   def firstPerKey(records: DataFrame, keyCol: String, idCol: String,
                   stateTtl: String = null): Dataset[Keyed] = {
@@ -52,6 +57,53 @@ object StreamingDedup {
             state.update(true)
             if (stateTtl != null) state.setTimeoutDuration(stateTtl)
             rows.take(1)
+          }
+        })
+  }
+
+  final case class KeyedTs(key: String, id: String, ts: java.sql.Timestamp)
+
+  /** Online first-per-key dedup with EVENT-TIME state TTL: a key's seen
+    * state expires `ttlMs` after its last event timestamp, relative to the
+    * stream's watermark — the bounded-state form of [[firstPerKey]] whose
+    * eviction is DETERMINISTIC and replayable (a checkpoint replay evicts
+    * at the same watermark, where a processing-time TTL depends on the
+    * wall clock of the original run; empirically the engine also keeps
+    * scheduling wall-clock timeout batches forever under
+    * ProcessingTimeTimeout, so AvailableNow/processAllAvailable never
+    * settle — event time is the operationally sane choice at scale).
+    *
+    * Eviction: a group with an expired timeout AND no new rows in the batch
+    * is removed once the watermark passes last_ts + ttl; the key's next
+    * arrival re-emits. A group that keeps receiving rows keeps its first
+    * winner (the timeout is pushed out past each new event).
+    */
+  def firstPerKeyEventTime(records: DataFrame, keyCol: String, idCol: String,
+                           tsCol: String, ttlMs: Long,
+                           lateness: String = "0 seconds"): Dataset[Keyed] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.select(col(keyCol).cast("string").as("key"),
+        col(idCol).cast("string").as("id"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", lateness)
+      .as[KeyedTs]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: String, rows: Iterator[KeyedTs], state: GroupState[Boolean]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val rs = rows.toArray
+            val first = !state.exists
+            if (first) state.update(true)
+            val maxTs = rs.iterator.map(_.ts.getTime).max
+            // must be strictly beyond the current watermark or Spark rejects it
+            state.setTimeoutTimestamp(
+              math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            if (first) rs.iterator.take(1).map(r => Keyed(r.key, r.id))
+            else Iterator.empty
           }
         })
   }

@@ -22,10 +22,10 @@ object FeatProbe {
       val norm = Signatures.normalizeCol(col("caption"))
       t("normalize")(images.select(norm.as("n")).select(sum(length(col("n")))).head())
       t("shingle-hash")(images.select(norm.as("n"))
-        .select(array_sort(transform(Signatures.shinglesCol(col("n"), 5), s => Signatures.hash60Col(s))).as("a"))
+        .select(Signatures.hashedShinglesCol(col("n"), 5).as("a"))
         .select(sum(size(col("a")))).head())
-      t("simhash-udf")(images.select(norm.as("n"))
-        .select(Signatures.simHashCol(Signatures.wordsCol(col("n")), 60).as("s"))
+      t("simhash")(images.select(norm.as("n"))
+        .select(Signatures.simHashFastCol(col("n"), 60).as("s"))
         .select(count(when(col("s") > 0L, 1))).head())
       t("full-features") {
         val f = graft.app.Pipeline.features(images, graft.model.DedupConfig())

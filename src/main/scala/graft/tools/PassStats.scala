@@ -35,11 +35,11 @@ object PassStats {
 
     val sig = Signatures.minHashFromHashesCol(col("shs"), cfg)
     report("lsh", feats.select(col("id"),
-      explode(Signatures.bandKeysCol(sig, cfg.bands)).as("key")))
+      explode(Signatures.bandHashKeysCol(sig, cfg.bands)).as("key")))
     report("simhash", feats.select(col("id"),
-      explode(Signatures.bitBlockKeysCol(col("simhash"), cfg.simhashBits / cfg.simhashBandBits, cfg.simhashBits)).as("key")))
+      explode(Blocking.packedBitBlockKeys(col("simhash"), cfg.simhashBits / cfg.simhashBandBits, cfg.simhashBits, 1L)).as("key")))
     report("phash", feats.select(col("id"),
-      explode(Signatures.bitBlockKeysCol(col("phash"), cfg.phashBlocks, 64)).as("key")))
+      explode(Blocking.packedBitBlockKeys(col("phash"), cfg.phashBlocks, 64, 2L)).as("key")))
     val sub = Blocking.substringPairs(feats, "id", "norm", cfg.shingleK + 3, Some(cfg.maxBucketSize))
     println(s"[pass] substring pairs=${sub.count()}")
     val exact = Blocking.starPairsFromKeys(feats.select(col("id"), col("chash").as("key")))

@@ -79,6 +79,23 @@ class PlanSpec extends AnyFunSuite {
       "small feature sides should broadcast into the pair join")
   }
 
+  test("feature stage is UDF-free and a single codegen span") {
+    val images = spark.read.parquet(inputPath)
+    val feats = graft.app.Pipeline.features(images, DedupConfig())
+    // no boxed Scala UDFs anywhere in the signature/feature plan — the
+    // kernels are native Catalyst expressions (graft.functions.SigExprs)
+    val udfs = feats.queryExecution.optimizedPlan.collect {
+      case p => p.expressions.flatMap(_.collect {
+        case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+      })
+    }.flatten
+    assert(udfs.isEmpty, s"feature stage must not contain Scala UDFs: $udfs")
+    // and the whole projection compiles into ONE codegen span over the scan
+    val plan = formatted(feats)
+    val spans = "\\[codegen id : (\\d+)\\]".r.findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(spans == Set("1"), s"feature projection should be one codegen span, saw $spans:\n$plan")
+  }
+
   test("snmPairsScalable emits exactly the snmPairs pair set (boundaries included)") {
     import spark.implicits._
     // keys with heavy ties + nulls, ids out of order; 4 partitions forces

@@ -49,6 +49,11 @@ class ResumeStreamSpec extends AnyFunSuite {
     // (SURVEY.md §7.5 risk 2)
     val skew = cp.metrics("02_candidates_skew").get
     assert(skew.contains("\"pass\":\"lsh\"") && skew.contains("\"pairs_dropped\":"))
+    // ClusterSplitHandler contract: refinement splits are persisted to the
+    // metrics sidecar (ref core/.../ClusterSplitHandler.java:37-69)
+    val splits = cp.metrics("05_assign_refined_splits").get
+    assert(splits.contains("\"n_split_clusters\":"),
+      s"splits sidecar must carry the split count: $splits")
     // a missing sidecar marks the stage incomplete (crash-window safety)
     Files.delete(Paths.get(s"$work/03_scored_metrics.json"))
     assert(!cp.isComplete("03_scored"))
@@ -123,6 +128,50 @@ class ResumeStreamSpec extends AnyFunSuite {
     assert(got.keySet == Set("a", "b", "c"))
     assert(got("a") == "r1", "first arrival must win across micro-batches")
     assert(got("c") == "r4")
+  }
+
+  test("streaming: first-per-key state expires after its event-time TTL and the key re-emits") {
+    import spark.implicits._
+    // Event-time TTL (firstPerKeyEventTime): eviction is driven by the
+    // WATERMARK, so every step below is deterministic — no wall-clock
+    // sleeps, and processAllAvailable settles (a processing-time TTL keeps
+    // the engine scheduling timeout batches forever; see the stateTtl note
+    // on firstPerKey).
+    val dir = tmpDir("graft-stream-evt-in")
+    val cpDir = tmpDir("graft-stream-evt-cp")
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    def feed(rows: (String, String, Long)*): Unit = {
+      rows.map { case (k, i, t) => (k, i, ts(t)) }.toDF("key", "id", "ts")
+        .coalesce(1).write.mode("append").parquet(dir)
+      // one batch per feed keeps watermark advancement deterministic
+      qRef.processAllAvailable()
+    }
+    lazy val qRef = {
+      val stream = spark.readStream
+        .schema("key string, id string, ts timestamp")
+        .parquet(dir)
+      StreamingDedup.firstPerKeyEventTime(stream, "key", "id", "ts", ttlMs = 5000L)
+        .writeStream.outputMode("append").format("memory").queryName("uniq_evt")
+        .option("checkpointLocation", cpDir)
+        .start()
+    }
+
+    feed(("a", "r1", 10))            // a emitted; expiry at t=15; wm -> 10
+    feed(("a", "r2", 12), ("b", "r3", 12)) // within TTL: a suppressed; wm -> 12
+    feed(("c", "r4", 30))            // wm -> 30 (past a's t=15 expiry)
+    feed(("d", "r5", 31))            // timeout fires HERE (wm already 30): a evicted
+    feed(("a", "r6", 32))            // a re-arrives after eviction: re-emitted
+    qRef.stop()
+
+    val got = spark.table("uniq_evt").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSeq
+    assert(got.contains("a" -> "r1") && got.contains("b" -> "r3"), s"got $got")
+    assert(!got.contains("a" -> "r2"), s"duplicate within TTL must stay suppressed: $got")
+    assert(got.contains("a" -> "r6"), s"expired key must re-emit: $got")
+    // the reference's unbounded seen-key index
+    // (OnlineSortedNeighborhoodMethod.java:103) traded for bounded,
+    // watermark-evicted state
+    assert(got.count(_._1 == "a") == 2, s"exactly first + post-expiry emits: $got")
   }
 
   test("streaming: watermarked windowed aggregation over the events table") {

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.DedupConfig
+import graft.sig.Signatures
+
+/** Equivalence gates for the native Catalyst signature kernels
+  * (graft.functions.SigExprs): each expression must produce EXACTLY the
+  * values of its pure-Scala mirror in [[Signatures]] — the mirrors are what
+  * the reference-fixture unit tests and the in-memory pipeline oracle run,
+  * and what the DuckDB oracle SQL reproduces, so byte-for-byte equality
+  * here is what keeps every CORRECTNESS hash unchanged after the UDF→native
+  * swap.
+  */
+class SigExprsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("sigexprs-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // edge cases the byte-window kernels must honor: empty string (no tokens,
+  // whole-string shingle), shorter-than-k, exactly-k, repeated shingles
+  // (distinctness), multi-token, single char, long mixed strings
+  private val inputs = Seq(
+    "",
+    "a",
+    "abcd",
+    "abcde",
+    "abcdef",
+    "aaaaaaaaaa",
+    "the quick brown fox jumps over the lazy dog",
+    "caption of image 00042 with numbers 12345",
+    "x y",
+    "aba ba ab aba",
+    "zzzzz yyyyy zzzzz"
+  ) ++ (0 until 50).map { i =>
+    val rng = new scala.util.Random(i)
+    (0 until (rng.nextInt(12) * 7)).map(_ => "abcdefghij 0123456789 "(rng.nextInt(22)))
+      .mkString.replaceAll("\\s+", " ").trim
+  }
+
+  private def df = {
+    val s = spark
+    import s.implicits._
+    inputs.toDF("norm")
+  }
+
+  test("hashedShingles == sorted distinct fastHash of char-k shingles") {
+    for (k <- Seq(3, 5)) {
+      val got = df.select(col("norm"), Signatures.hashedShinglesCol(col("norm"), k).as("a"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1))
+      got.foreach { case (s, arr) =>
+        val want = Signatures.shingles(s, k).map(Signatures.fastHash).distinct.sorted
+        assert(arr == want, s"hashedShingles mismatch k=$k input='$s'")
+      }
+    }
+  }
+
+  test("simHashWords(fast=true/false) == simHashWith(words, bits, hash)") {
+    val got = df.select(col("norm"),
+      Signatures.simHashFastCol(col("norm"), 60).as("f"),
+      Signatures.simHashWordsCol(col("norm"), 60).as("s"))
+      .collect()
+    got.foreach { r =>
+      val s = r.getString(0)
+      assert(r.getLong(1) == Signatures.simHashWith(Signatures.words(s), 60, Signatures.fastHash),
+        s"fast simhash mismatch input='$s'")
+      assert(r.getLong(2) == Signatures.simHash(Signatures.words(s), 60),
+        s"hash60 simhash mismatch input='$s'")
+    }
+  }
+
+  test("minHashCol / minHashFromHashesCol == Scala minHash over the same shingles") {
+    val cfg = DedupConfig(shingleK = 5, numHashes = 64, bands = 16)
+    val a = Signatures.seedsA(cfg.numHashes, cfg.seed)
+    val b = Signatures.seedsB(cfg.numHashes, cfg.seed)
+    val got = df
+      .select(col("norm"), Signatures.shinglesCol(col("norm"), cfg.shingleK).as("shs"))
+      .select(col("norm"), col("shs"),
+        Signatures.minHashCol(col("shs"), cfg).as("sig"))
+      .collect()
+    got.foreach { r =>
+      val s = r.getString(0)
+      val want = Signatures.minHash(Signatures.shingles(s, cfg.shingleK), a, b).toSeq
+      assert(r.getSeq[Long](2) == want, s"minhash mismatch input='$s'")
+    }
+  }
+
+  test("bandKeysCol / bitBlockKeysCol produce the oracle-mirrored strings") {
+    val cfg = DedupConfig(shingleK = 5, numHashes = 64, bands = 16)
+    val got = df
+      .select(col("norm"),
+        Signatures.bandKeysCol(
+          Signatures.minHashCol(Signatures.shinglesCol(col("norm"), 5), cfg),
+          cfg.bands).as("bk"),
+        Signatures.bitBlockKeysCol(
+          Signatures.simHashWordsCol(col("norm"), 60), 4, 60).as("bb"))
+      .collect()
+    val a = Signatures.seedsA(cfg.numHashes, cfg.seed)
+    val b = Signatures.seedsB(cfg.numHashes, cfg.seed)
+    got.foreach { r =>
+      val s = r.getString(0)
+      val sig = Signatures.minHash(Signatures.shingles(s, 5), a, b)
+      assert(r.getSeq[String](1) == Signatures.bandKeys(sig, cfg.bands),
+        s"band keys mismatch input='$s'")
+      val sh = Signatures.simHash(Signatures.words(s), 60)
+      assert(r.getSeq[String](2) == Signatures.bitBlockKeys(sh, 4, 60),
+        s"bit-block keys mismatch input='$s'")
+    }
+  }
+
+  test("bandHashKeys: deterministic, band-positional, 58-bit masked (namespace-safe)") {
+    val cfg = DedupConfig()
+    val sigCol = Signatures.minHashFromHashesCol(
+      Signatures.hashedShinglesCol(col("norm"), cfg.shingleK), cfg)
+    val got = df.select(Signatures.bandHashKeysCol(sigCol, cfg.bands).as("k"))
+      .collect().map(_.getSeq[Long](0))
+    val again = df.select(Signatures.bandHashKeysCol(sigCol, cfg.bands).as("k"))
+      .collect().map(_.getSeq[Long](0))
+    assert(got.toSeq == again.toSeq, "band hash keys must be deterministic")
+    got.foreach { ks =>
+      assert(ks.length == cfg.bands)
+      // high 6 bits zero: disjoint from packed bit-block namespaces (tag>=1)
+      ks.foreach(k => assert((k & ~0x03FFFFFFFFFFFFFFL) == 0L, s"key $k escapes 58-bit mask"))
+    }
+    // same band values in different band positions must not collide (the
+    // band index is mixed into the key)
+    val s1 = Seq(1L, 2L, 3L, 4L)
+    val sess = spark
+    import sess.implicits._
+    val rep = Seq((s1 ++ s1 ++ s1 ++ s1)).toDF("sig")
+      .select(Signatures.bandHashKeysCol(col("sig"), 4).as("k"))
+      .head().getSeq[Long](0)
+    assert(rep.distinct.length == 4, "identical band values must key differently per band")
+  }
+}
