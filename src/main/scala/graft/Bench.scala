@@ -244,26 +244,50 @@ object Bench {
     val lo = levels.min; val hi = levels.max
     // asymmetric sampling: the high level needs `hi` simultaneously free
     // host cores, so its clean windows are rarer — give it the extra
-    // trials (lo: trials-1, hi: trials+1), interleaved
-    val order = ((0 until trials - 1).flatMap(t => if (t % 2 == 0) Seq(lo, hi) else Seq(hi, lo)) ++
-      Seq(hi, hi)).take(2 * trials)
+    // trials (lo: trials-1, hi: trials+1), interleaved. At trials=1 the
+    // asymmetric schedule would starve `lo` entirely (forcing the invalid
+    // in-process fallback), so the floor is one subprocess trial per level.
+    val order =
+      if (trials <= 1) Seq(lo, hi)
+      else ((0 until trials - 1).flatMap(t => if (t % 2 == 0) Seq(lo, hi) else Seq(hi, lo)) ++
+        Seq(hi, hi)).take(2 * trials)
     val best = scala.collection.mutable.Map.empty[Int, Double]
     val bestCpu = scala.collection.mutable.Map.empty[Int, Double]
     val bestGc = scala.collection.mutable.Map.empty[Int, Double]
     val survived = scala.collection.mutable.Map.empty[Int, Int].withDefaultValue(0)
-    order.zipWithIndex.foreach { case (cores, i) =>
+    val allTimes = scala.collection.mutable.Map.empty[Int, List[Double]].withDefaultValue(Nil)
+    def record(label: String, cores: Int): Unit =
       subprocessRun(cores, warmPath, inputPath) match {
         case Some((t, cpu, gc)) =>
-          System.err.println(
-            f"[bench] run ${i + 1}/${order.size} cores=$cores sec=$t%.1f cpu=$cpu%.1f gc=$gc%.1f")
+          System.err.println(f"[bench] $label cores=$cores sec=$t%.1f cpu=$cpu%.1f gc=$gc%.1f")
           survived(cores) += 1
+          allTimes(cores) = t :: allTimes(cores)
           if (t < best.getOrElse(cores, Double.MaxValue)) {
             best(cores) = t; bestCpu(cores) = cpu; bestGc(cores) = gc
           }
         case None =>
-          System.err.println(s"[bench] run ${i + 1}/${order.size} cores=$cores dropped (failed/timeout)")
+          System.err.println(s"[bench] $label cores=$cores dropped (failed/timeout)")
       }
+    order.zipWithIndex.foreach { case (cores, i) =>
+      record(s"run ${i + 1}/${order.size}", cores)
     }
+    // Adaptive extension: the host is a shared microVM whose contention
+    // windows last many minutes, and guest CPU accounting includes stolen
+    // time (Firecracker does not trap the TSC), so a whole fixed schedule
+    // can land inside one bad window and the per-level minima stay
+    // poisoned. Keep sampling (bounded) until each level's minimum is
+    // CONFIRMED: at least two trials within 15% of the level best — a
+    // reproduced minimum, not one lucky/unlucky window.
+    def stable(c: Int): Boolean =
+      best.contains(c) && allTimes(c).count(_ <= best(c) * 1.15) >= 2
+    val maxExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_EXTRA", "6").toInt
+    var extra = 0
+    while (extra < maxExtra && !(stable(lo) && stable(hi))) {
+      val target = if (!stable(lo) && (stable(hi) || extra % 2 == 0)) lo else hi
+      record(s"extra ${extra + 1}/$maxExtra", target)
+      extra += 1
+    }
+
     // A level with ZERO surviving subprocess trials falls back in-process —
     // an invalid measurement mode (driver-JVM GC coupling, no cpuset pin).
     // The fallback is FLAGGED in the JSON so the consumer can reject the
@@ -295,6 +319,7 @@ object Bench {
       s""""cpu_util_n":${util(lo)},"cpu_util_4n":${util(hi)},""" +
       s""""cpu_work_growth":$workGrowth,""" +
       s""""trials_n":${survived(lo)},"trials_4n":${survived(hi)},""" +
+      s""""min_confirmed_n":${stable(lo)},"min_confirmed_4n":${stable(hi)},""" +
       s""""fallback_levels":${fellBack.mkString("[", ",", "]")},""" +
       s""""pinned":${!sys.env.get("SPARK_GRAFT_NO_PIN").contains("1")},""" +
       s""""scaling_efficiency":$eff}""")

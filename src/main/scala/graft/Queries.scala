@@ -45,15 +45,19 @@ object Queries {
     table(spark, dir, "documents")
       .select(col("doc_id"), Signatures.normalizeCol(col("text")).as("norm"))
 
-  /** Memoized (id, shs) char-5 STRING shingles — `dd_minhash_lsh` references
-    * this frame three times (band keys + both verify sides); without the
-    * memo the md5-based shingling subtree is evaluated 3x (round-2 bench:
-    * 15.9 s, the most expensive query).
+  /** Memoized (id, shs) char-5 shingles as SORTED DISTINCT hash60 longs
+    * (native Hash60Shingles kernel — one JVM pass; the old
+    * sequence→substring→md5→conv expression chain was the dominant cost of
+    * `dd_minhash_lsh`, 16 s at sf0.1). hash60 is 60-bit and injective in
+    * practice, so MinHash signatures (which reduce via floorMod(hash60, P)
+    * either way) and Jaccard counts over these longs equal the
+    * string-shingle values the oracle computes.
     */
   private def docCharShingles(spark: SparkSession, dir: String): DataFrame =
-    QueryCache.memo(spark, "char_shs", dir) {
+    QueryCache.memo(spark, "char_shs60", dir) {
       docNorm(spark, dir)
-        .select(col("doc_id").as("id"), Signatures.shinglesCol(col("norm"), lshCfg.shingleK).as("shs"))
+        .select(col("doc_id").as("id"),
+          Signatures.hash60ShinglesCol(col("norm"), lshCfg.shingleK).as("shs"))
     }
 
   /** Memoized (id, shs): SORTED hash60 word-ngram shingle arrays — the
@@ -147,9 +151,15 @@ ${OracleGen.jaccardVerifySql(ngramJaccardT)}"""
     */
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val shs = docCharShingles(spark, dir)
-    val sig = Signatures.minHashCol(col("shs"), lshCfg)
+    val sig = Signatures.minHashFromHashesCol(col("shs"), lshCfg)
     val keyed = shs.select(col("id"), explode(Signatures.bandKeysCol(sig, lshCfg.bands)).as("key"))
-    jaccardVerify(Blocking.pairsFromKeys(keyed, Some(bucketCap)), shs, minhashJaccardT)
+    val cands = Blocking.pairsFromKeys(keyed, Some(bucketCap))
+    val s1 = shs.select(col("id").as("id1"), col("shs").as("sh1"))
+    val s2 = shs.select(col("id").as("id2"), col("shs").as("sh2"))
+    cands.join(s1, Seq("id1")).join(s2, Seq("id2"))
+      .select(col("id1"), col("id2"),
+        graft.functions.SortedIntersect.jaccardSorted(col("sh1"), col("sh2")).as("jaccard"))
+      .where(col("jaccard") >= minhashJaccardT)
   }
 
   private val ddMinhashLshSql =

@@ -229,9 +229,14 @@ object Blocking {
     */
   def substringPairs(records: DataFrame, idCol: String, normCol: String, k: Int,
                      cap: Option[Int] = None): DataFrame = {
+    // keys are xxhash64 of the k-gram, not the k-gram string: the index
+    // explodes ~|text| keys per record, so hashing cuts the shuffled key
+    // bytes and replaces string-compare joins with long joins. A hash
+    // collision only adds a candidate; the containment verify below is
+    // exact, so results are unchanged.
     val probe0 = records.select(
         col(idCol).as("pid"), col(normCol).as("ptext"),
-        substring(col(normCol), 1, k).as("key"))
+        Signatures.fastHashCol(substring(col(normCol), 1, k)).as("key"))
       .where(length(col(normCol)) >= k)
     // skew guard: a prefix key probed by more than `cap` records makes the
     // bucket join quadratic — drop it (counted by callers via metrics)
@@ -241,12 +246,22 @@ object Blocking {
         probe0.join(counts.where(col("_n") <= c), Seq("key")).drop("_n")
       case None => probe0
     }
-    val index = records.select(
-        col(idCol).as("iid"), col(normCol).as("itext"),
-        explode(Signatures.shinglesCol(col(normCol), k)).as("key"))
-    probe.join(index, Seq("key"))
-      .where(col("pid") =!= col("iid") &&
-        length(col("ptext")) <= length(col("itext")) &&
+    // The exploded index is (iid, key) ONLY — carrying the text through the
+    // ~|corpus|·|text| exploded rows multiplies the materialized bytes by
+    // the text length (measured 10 s -> ~2 s at sf0.1). Texts re-attach by
+    // id AFTER the key join, on the (much smaller) candidate set. A (p, i)
+    // pair matches at most once: the probe key is p's single first k-gram
+    // and index keys are distinct per document.
+    val index = records.select(col(idCol).as("iid"),
+      explode(Signatures.hashedShinglesCol(col(normCol), k)).as("key"))
+    val candIds = probe.select(col("pid"), col("key"))
+      .join(index, Seq("key"))
+      .where(col("pid") =!= col("iid"))
+      .select(col("pid"), col("iid"))
+    candIds
+      .join(records.select(col(idCol).as("pid"), col(normCol).as("ptext")), Seq("pid"))
+      .join(records.select(col(idCol).as("iid"), col(normCol).as("itext")), Seq("iid"))
+      .where(length(col("ptext")) <= length(col("itext")) &&
         expr("instr(itext, ptext) > 0"))
       .select(
         least(col("pid"), col("iid")).as("id1"),

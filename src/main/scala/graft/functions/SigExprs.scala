@@ -164,6 +164,37 @@ object SigKernels {
       if (w == m) arr else java.util.Arrays.copyOf(arr, w))
   }
 
+  /** Sorted distinct hash60 (md5-based, oracle-mirrorable) values of all
+    * k-byte windows of an ASCII string — value-equal to
+    * sort(distinct(shingles(s,k).map(hash60))) but one JVM pass instead of
+    * the sequence→substring→md5→conv→array_distinct expression chain (the
+    * chain allocates a hex string and parses base-16 per shingle; measured
+    * as the dominant cost of the MinHash catalog query).
+    */
+  def hash60Shingles(s: UTF8String, k: Int): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val n = s.numBytes()
+    if (n < k)
+      return UnsafeArrayData.fromPrimitiveArray(Array(hash60Bytes(base, off, n)))
+    val m = n - k + 1
+    val arr = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      arr(i) = hash60Bytes(base, off + i, k)
+      i += 1
+    }
+    java.util.Arrays.sort(arr)
+    var w = 1
+    var rd = 1
+    while (rd < m) {
+      if (arr(rd) != arr(rd - 1)) { arr(w) = arr(rd); w += 1 }
+      rd += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (w == m) arr else java.util.Arrays.copyOf(arr, w))
+  }
+
   /** SimHash over the space-separated tokens of an ASCII string, without
     * materializing the token array. Tokenization matches Spark's
     * `split(c, " ")` (limit -1: interior AND trailing empty tokens are
@@ -348,6 +379,31 @@ case class HashedShingles(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Sorted distinct hash60 values of all char-k shingles of a normalized
+  * (ASCII) string — the oracle-mirrorable (md5-based) sibling of
+  * [[HashedShingles]].
+  */
+case class Hash60Shingles(child: Expression, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hash60_shingles requires string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    SigKernels.hash60Shingles(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SigKernels.hash60Shingles($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** SimHash over the space-separated tokens of a normalized (ASCII) string.
   * fast=true hashes tokens with xxhash64 (pipeline); fast=false with the
   * md5-based hash60 (oracle-mirrored catalog queries).
@@ -388,6 +444,8 @@ object SigExprs {
     column(BitBlockKeyStrings(expression(c), blocks, totalBits))
   def hashedShingles(c: Column, k: Int): Column =
     column(HashedShingles(expression(c), k))
+  def hash60Shingles(c: Column, k: Int): Column =
+    column(Hash60Shingles(expression(c), k))
   def simHashWords(c: Column, bits: Int, fast: Boolean): Column =
     column(SimHashWords(expression(c), bits, fast))
 }

@@ -317,4 +317,11 @@ object Signatures {
     */
   def hashedShinglesCol(normCol: Column, k: Int): Column =
     SigExprs.hashedShingles(normCol, k)
+
+  /** Sorted distinct hash60 char-k shingle hashes — the oracle-mirrorable
+    * (md5-based) feature kernel of the MinHash catalog queries (set-equal
+    * to shingles(norm,k).map(hash60)).
+    */
+  def hash60ShinglesCol(normCol: Column, k: Int): Column =
+    SigExprs.hash60Shingles(normCol, k)
 }
