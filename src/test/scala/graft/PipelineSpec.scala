@@ -147,6 +147,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"gold recall $recall")
   }
 
+  test("recall holds at a second corpus size (n=3000): capture is not tuned to one n") {
+    // The bit-block passes only GUARANTEE capture at Hamming <= 2 (simhash)
+    // / <= 1 (phash); pairs in the 3..hammingThreshold band rely on the
+    // cross-pass union (Model.scala capture contract). That coverage is
+    // measured, so gate it at more than one corpus size — bucket occupancy
+    // and cross-pass overlap both shift with n, and a retune that only
+    // watches n=1000 could silently trade away the band.
+    val n2 = 3000L
+    val gen2 = (0L until n2).map(i => ImageGen.record(seed, i, n2))
+    val feats2 = oracleFeatures(gen2)
+    val oPairs = {
+      val buf = Seq.newBuilder[(String, String)]
+      for (i <- feats2.indices; j <- i + 1 until feats2.length)
+        if (oracleDuplicate(feats2(i), feats2(j))) buf += ((feats2(i).id, feats2(j).id))
+      buf.result()
+    }
+    val oracle2 = intraPairs(unionFind(feats2.map(_.id), oPairs))
+
+    val df = ImageGen.asImages(ImageGen.generate(spark, n2, seed, 8)).toDF()
+    val f = Pipeline.features(df, cfg).cache()
+    f.count()
+    val scored = Pipeline.classified(f, Pipeline.candidates(f, cfg), cfg).cache()
+    val direct = scored.where(org.apache.spark.sql.functions.col("classification") ===
+        Classification.Duplicate)
+      .select("id1", "id2")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .map(p => if (p._1 < p._2) p else p.swap).toSet
+    val assign = Pipeline.cluster(f, scored)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val gotPairs = intraPairs(assign)
+    val recall = (gotPairs & oracle2).size.toDouble / math.max(oracle2.size, 1)
+    val precision = (gotPairs & oracle2).size.toDouble / math.max(gotPairs.size, 1)
+    val directRecall = (direct & oPairs.toSet).size.toDouble / math.max(oPairs.size, 1)
+    info(f"n=$n2: oracle=${oracle2.size} got=${gotPairs.size} recall=$recall%.4f " +
+      f"precision=$precision%.4f direct-capture=$directRecall%.4f")
+    assert(recall >= 0.99, s"n=$n2 recall $recall below 0.99")
+    assert(precision >= 0.95, s"n=$n2 precision $precision suspiciously low")
+    f.unpersist(); scored.unpersist()
+  }
+
   test("refine only splits, never merges (SURVEY.md §7.1.5)") {
     val before = pipelineOut._1.collect().map(r => r.getString(0) -> r.getString(1)).toMap
     val after = pipelineOut._2.collect().map(r => r.getString(0) -> r.getString(1)).toMap
