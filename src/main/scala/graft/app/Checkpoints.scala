@@ -79,7 +79,7 @@ object Checkpoints {
     // the stats run over the SAME long keys the pipeline blocks on
     // (Blocking.keyedUnion's three namespaces), so the sidecar reports the
     // real buckets, not a parallel reconstruction
-    val sig = Signatures.minHashFromHashesCol(col("shs"), cfg)
+    val sig = Signatures.minHashFromIntHashesCol(col("shs"), cfg)
     val passes = Seq(
       "lsh" -> feats.select(col("id"),
         explode(Signatures.bandHashKeysCol(sig, cfg.bands)).as("key")),

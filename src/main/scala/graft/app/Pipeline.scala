@@ -39,7 +39,7 @@ object Pipeline {
                               confidence: Double, explanation: String)
 
   final case class Member(cluster_id: String, id: String, norm: String,
-                          shs: Seq[Long], phash: Long, simhash: Long)
+                          shs: Seq[Int], phash: Long, simhash: Long)
 
   final case class EdgeW(cluster_id: String, id1: String, id2: String, w: Double)
 
@@ -48,11 +48,13 @@ object Pipeline {
                              phash: Long, fuse_errors: Seq[String])
 
   /** Stage 1: feature projection (column-pruned: bytes read once for the
-    * content hash, never again). Shingles are carried as 64-bit xxhash64
-    * values, not strings — Jaccard on hashed shingles is identical modulo
-    * ~2^-64 collisions, at a fraction of the shuffle bytes and CPU (the
-    * md5-based hash60 is only needed where a DuckDB oracle must mirror the
-    * hash; the in-memory test oracle shares Signatures.fastHash instead).
+    * content hash, never again). Shingles are carried as 32-bit truncated
+    * xxhash64 values, not strings — Jaccard on hashed shingles is identical
+    * modulo rare truncation collisions (±1/|union| per collision), at half
+    * the verify-shuffle bytes of the 64-bit form, which is the pipeline's
+    * largest memory-traffic item and what DRAM bandwidth caps at high core
+    * counts (the md5-based hash60 is only needed where a DuckDB oracle must
+    * mirror the hash; the in-memory test oracle shares fastHash32).
     */
   def features(images: DataFrame, cfg: DedupConfig): DataFrame = {
     val norm = Signatures.normalizeCol(col("caption"))
@@ -61,7 +63,7 @@ object Pipeline {
       norm.as("norm"),
       col("phash"),
       md5(col("bytes")).as("chash"))
-      .withColumn("shs", Signatures.hashedShinglesCol(col("norm"), cfg.shingleK))
+      .withColumn("shs", Signatures.hashedShingles32Col(col("norm"), cfg.shingleK))
       .withColumn("simhash", Signatures.simHashFastCol(col("norm"), cfg.simhashBits))
   }
 
@@ -108,7 +110,7 @@ object Pipeline {
     // boundary — the CASE WHEN cascade references them repeatedly, and
     // CollapseProject would otherwise inline (re-evaluate) the array
     // intersection per reference (measured 3.5x slower)
-    val jac0 = graft.functions.SortedIntersect.jaccardSorted(col("shs1"), col("shs2"))
+    val jac0 = graft.functions.SortedIntersect.jaccardSortedInt(col("shs1"), col("shs2"))
     val phSim0 = Sims.hammingSim(64)(col("ph1"), col("ph2"))
     val shSim0 = Sims.hammingSim(cfg.simhashBits)(col("sh1"), col("sh2"))
     val contains0 = (length(col("norm1")) <= length(col("norm2")) &&

@@ -108,7 +108,7 @@ object Blocking {
     * shuffle, moving 8 bytes per key instead of a ~30-char string.
     */
   def keyedUnion(feats: DataFrame, cfg: DedupConfig): DataFrame = {
-    val sig = Signatures.minHashFromHashesCol(col("shs"), cfg)
+    val sig = Signatures.minHashFromIntHashesCol(col("shs"), cfg)
     val lsh = feats.select(col("id"),
       explode(Signatures.bandHashKeysCol(sig, cfg.bands)).as("key"))
     val sim = feats.select(col("id"),

@@ -164,6 +164,66 @@ object SigKernels {
       if (w == m) arr else java.util.Arrays.copyOf(arr, w))
   }
 
+  /** 32-bit variant of [[hashedShingles]]: sorted distinct
+    * `xxhash64(shingle).toInt` values. The flagship pipeline's verify
+    * shuffle co-locates TWO shingle arrays per candidate pair — its bytes
+    * are the largest single memory-traffic item in the whole run, and on
+    * this class of hardware (single shared DRAM bus) shuffle bytes are
+    * what caps multi-core scaling. Truncating to 32 bits halves them; a
+    * truncation collision inside one caption's ~100-shingle set only nudges
+    * the Jaccard by ±1/|union| (the same 2^-32-scale error as any hashed
+    * sketch), and the recall gates (n=1000, n=3000, gold) hold unchanged.
+    */
+  def hashedShingles32(s: UTF8String, k: Int): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val n = s.numBytes()
+    if (n < k)
+      return UnsafeArrayData.fromPrimitiveArray(
+        Array(XXH64.hashUnsafeBytes(base, off, n, XXSEED).toInt))
+    val m = n - k + 1
+    val arr = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      arr(i) = XXH64.hashUnsafeBytes(base, off + i, k, XXSEED).toInt
+      i += 1
+    }
+    java.util.Arrays.sort(arr)
+    var w = 1
+    var rd = 1
+    while (rd < m) {
+      if (arr(rd) != arr(rd - 1)) { arr(w) = arr(rd); w += 1 }
+      rd += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (w == m) arr else java.util.Arrays.copyOf(arr, w))
+  }
+
+  /** MinHash signature over a sorted-distinct INT shingle array (the
+    * 32-bit pipeline feature form): identical structure to
+    * [[minHashFromHashes]], with the sign-extended int as the shingle
+    * value.
+    */
+  def minHashFromIntHashes(hs: ArrayData, a: Array[Long], b: Array[Long]): ArrayData = {
+    val n = a.length
+    val m = hs.numElements()
+    val sig = new Array[Long](n)
+    if (m == 0) return UnsafeArrayData.fromPrimitiveArray(sig)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var j = 0
+    while (j < m) {
+      val h = java.lang.Math.floorMod(hs.getInt(j).toLong, P)
+      var i = 0
+      while (i < n) {
+        val v = (a(i) * h + b(i)) % P
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
   /** Sorted distinct hash60 (md5-based, oracle-mirrorable) values of all
     * k-byte windows of an ASCII string — value-equal to
     * sort(distinct(shingles(s,k).map(hash60))) but one JVM pass instead of
@@ -379,6 +439,60 @@ case class HashedShingles(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 32-bit sibling of [[HashedShingles]] (sorted distinct
+  * `xxhash64(shingle).toInt`): the flagship pipeline's shingle feature —
+  * HALF the verify-shuffle bytes of the 64-bit form at the same Jaccard
+  * semantics (see SigKernels.hashedShingles32).
+  */
+case class HashedShingles32(child: Expression, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hashed_shingles32 requires string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    SigKernels.hashedShingles32(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SigKernels.hashedShingles32($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** MinHash signature over a sorted-distinct INT shingle array — the
+  * 32-bit-feature twin of [[MinHashFromHashes]].
+  */
+case class MinHashFromIntHashes(child: Expression, a: Array[Long], b: Array[Long])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig32 requires array<int>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    SigKernels.minHashFromIntHashes(input.asInstanceOf[ArrayData], a, b)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhA", a, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", b, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SigKernels.minHashFromIntHashes($c, $aRef, $bRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Sorted distinct hash60 values of all char-k shingles of a normalized
   * (ASCII) string — the oracle-mirrorable (md5-based) sibling of
   * [[HashedShingles]].
@@ -444,6 +558,10 @@ object SigExprs {
     column(BitBlockKeyStrings(expression(c), blocks, totalBits))
   def hashedShingles(c: Column, k: Int): Column =
     column(HashedShingles(expression(c), k))
+  def hashedShingles32(c: Column, k: Int): Column =
+    column(HashedShingles32(expression(c), k))
+  def minHashFromIntHashes(c: Column, a: Array[Long], b: Array[Long]): Column =
+    column(MinHashFromIntHashes(expression(c), a, b))
   def hash60Shingles(c: Column, k: Int): Column =
     column(Hash60Shingles(expression(c), k))
   def simHashWords(c: Column, bits: Int, fast: Boolean): Column =

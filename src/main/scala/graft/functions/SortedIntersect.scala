@@ -65,6 +65,50 @@ object SortedLongIntersectCard {
   }
 }
 
+/** Int sibling of [[SortedLongIntersectCard]] for the 32-bit pipeline
+  * shingle feature (array<int>, sorted ascending, distinct).
+  */
+case class SortedIntIntersectCard(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect_card_int requires two array<int> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntIntersectCard.card(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SortedIntIntersectCard.card($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object SortedIntIntersectCard {
+  def card(x: ArrayData, y: ArrayData): Int = {
+    var i = 0; var j = 0; var c = 0
+    val n = x.numElements(); val m = y.numElements()
+    while (i < n && j < m) {
+      val xv = x.getInt(i); val yv = y.getInt(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
 object SortedIntersect {
 
   import org.apache.spark.sql.GraftColumnBridge
@@ -72,6 +116,18 @@ object SortedIntersect {
   def card(a: Column, b: Column): Column =
     GraftColumnBridge.column(SortedLongIntersectCard(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def cardInt(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SortedIntIntersectCard(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Jaccard over two sorted distinct int arrays (32-bit shingle form). */
+  def jaccardSortedInt(a: Column, b: Column): Column = {
+    val c = cardInt(a, b)
+    val u = size(a) + size(b) - c
+    when(a.isNull || b.isNull, lit(null).cast("double"))
+      .otherwise(when(u === 0, 1.0).otherwise(c.cast("double") / u))
+  }
 
   /** Jaccard over two sorted distinct long arrays: |∩| / |∪| with the exact
     * same integer counts and IEEE division as the array_intersect form.

@@ -68,9 +68,15 @@ object Embeddings {
     * same (band, value); verify with exact cosine. Scale path: one shuffle
     * on band keys, quadratic only within buckets.
     */
-  def lshBuckets(vectors: DataFrame, dim: Int, bits: Int, bands: Int, seed: Long): DataFrame = {
-    val planes: Array[Array[Double]] = Array.tabulate(bits, dim)((b, d) =>
+  /** The deterministic ±1 SRP hyperplanes shared by every LSH path (and
+    * emitted as literals by the ann_lsh oracle SQL).
+    */
+  def srpPlanes(bits: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(bits, dim)((b, d) =>
       if ((Signatures.hash60(s"srp:$seed:$b:$d") & 1L) == 1L) 1.0 else -1.0)
+
+  def lshBuckets(vectors: DataFrame, dim: Int, bits: Int, bands: Int, seed: Long): DataFrame = {
+    val planes = srpPlanes(bits, dim, seed)
     val sig = udf((v: Seq[Float]) => {
       var out = 0L
       var b = 0
@@ -263,5 +269,99 @@ object Embeddings {
       .withColumn("cosine", dotCol(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .where(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), col("cosine"))
+  }
+
+  /** MULTI-PROBE SRP-LSH top-k (Lv et al., VLDB'07, adapted to sign
+    * projections): the index stores each vector once per band under its
+    * base key, and each QUERY additionally probes the buckets reached by
+    * flipping its `probesPerBand` least-confident sign bits per band — the
+    * bits whose projection magnitude |v·plane| is smallest, i.e. exactly
+    * the ones a true near-neighbor is most likely to differ on. Recall per
+    * band roughly multiplies by (1 + probes) at a 1+probes candidate-read
+    * cost, WITHOUT growing the index: at the 10^12 scale the index is the
+    * expensive replicated artifact (bands × corpus entries), so buying
+    * recall on the query side is the right trade vs adding bands.
+    *
+    * The probe-key expansion runs only on the QUERY side (the small
+    * broadcast relation), never over the corpus — the corpus side stays on
+    * the shared single-signature bucket path ([[lshBuckets]]), whose cost
+    * is the bits×dim multiply-adds, not allocation.
+    *
+    * Plan shape: one shuffle of the (narrow) index on bucket keys, probe
+    * join, dedup on (query, neighbor), exact-cosine verify, per-query
+    * top-k window. Deterministic: planes from hash60, ties (equal
+    * |projection|) break to the lower bit index.
+    */
+  def lshTopKMultiProbe(vectors: DataFrame, queries: DataFrame, k: Int,
+                        dim: Int = 64, bits: Int = 24, bands: Int = 6,
+                        probesPerBand: Int = 2, seed: Long = 42L,
+                        bucketCap: Int = 4000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bits % bands == 0, s"bits=$bits must divide into bands=$bands")
+    val per = bits / bands
+    val planes = srpPlanes(bits, dim, seed)
+    val t = math.min(probesPerBand, per)
+
+    val probeKeys = udf((v: Seq[Float]) => {
+      val acc = new Array[Double](bits)
+      var b = 0
+      while (b < bits) {
+        var s = 0.0; var d = 0
+        val p = planes(b)
+        while (d < v.length && d < dim) { s += p(d) * v(d); d += 1 }
+        acc(b) = s
+        b += 1
+      }
+      val keys = new scala.collection.mutable.ArrayBuffer[String]((1 + t) * bands)
+      var i = 0
+      while (i < bands) {
+        var base = 0L
+        var p = 0
+        while (p < per) {
+          if (acc(i * per + p) > 0) base |= (1L << p)
+          p += 1
+        }
+        keys += s"$i:$base"
+        // t least-confident bits of this band, ascending |projection|
+        val order = (0 until per).sortBy(p => (math.abs(acc(i * per + p)), p))
+        var j = 0
+        while (j < t) {
+          keys += s"$i:${base ^ (1L << order(j))}"
+          j += 1
+        }
+        i += 1
+      }
+      keys.toSeq
+    })
+
+    // index: corpus bucketed once per band (native path), skew-capped
+    val index0 = lshBuckets(vectors, dim, bits, bands, seed)
+      .select(col("vec_id").as("neighbor_id"), col("bucket"))
+    val counts = index0.groupBy("bucket").agg(count(lit(1)).as("_n"))
+    val index = index0.join(counts.where(col("_n") <= bucketCap), Seq("bucket")).drop("_n")
+
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .withColumn("bucket", explode(probeKeys(col("qv"))))
+
+    // a (query, neighbor) pair can meet in several probed buckets — dedup
+    // BEFORE the cosine verify so each candidate is scored once
+    val cands = probes.join(index, Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+
+    val q = withNorm(queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      "qv", "qn")
+    val v = withNorm(vectors.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
+      "nv", "nn")
+    val scored = cands.join(broadcast(q), Seq("query_id")).join(v, Seq("neighbor_id"))
+      .withColumn("cosine", dotCol(col("qv"), col("nv")) / (col("qn") * col("nn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("int").as("rank"),
+        col("cosine"))
   }
 }

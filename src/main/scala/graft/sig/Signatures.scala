@@ -73,6 +73,12 @@ object Signatures {
 
   def fastHashCol(c: Column): Column = xxhash64(c)
 
+  /** 32-bit truncation of [[fastHash]] — the pipeline shingle feature
+    * element (half the shuffle bytes; a within-caption truncation collision
+    * nudges Jaccard by ±1/|union|, below any threshold's resolution).
+    */
+  def fastHash32(s: String): Int = fastHash(s).toInt
+
   // ----------------------------------------------------- permutation seeds
 
   /** Deterministic affine-permutation coefficients: a_i in [1, P-1],
@@ -282,6 +288,14 @@ object Signatures {
     SigExprs.minHashFromHashes(hashedShingles,
       seedsA(cfg.numHashes, cfg.seed), seedsB(cfg.numHashes, cfg.seed))
 
+  /** MinHash over the 32-bit shingle feature (array<int>, sign-extended
+    * per element) — the pipeline's form; same permutations as
+    * [[minHashFromHashesCol]].
+    */
+  def minHashFromIntHashesCol(hashedShingles32: Column, cfg: DedupConfig): Column =
+    SigExprs.minHashFromIntHashes(hashedShingles32,
+      seedsA(cfg.numHashes, cfg.seed), seedsB(cfg.numHashes, cfg.seed))
+
   /** String band keys ("band:v1,v2,...") — exact mirror of [[bandKeys]] and
     * the oracle's string_agg form.
     */
@@ -317,6 +331,14 @@ object Signatures {
     */
   def hashedShinglesCol(normCol: Column, k: Int): Column =
     SigExprs.hashedShingles(normCol, k)
+
+  /** Sorted distinct 32-bit (`fastHash(_).toInt`) char-k shingle hashes —
+    * the flagship pipeline feature (set-equal to
+    * shingles(norm,k).map(fastHash32)); see SigKernels.hashedShingles32 for
+    * why 32 bits.
+    */
+  def hashedShingles32Col(normCol: Column, k: Int): Column =
+    SigExprs.hashedShingles32(normCol, k)
 
   /** Sorted distinct hash60 char-k shingle hashes — the oracle-mirrorable
     * (md5-based) feature kernel of the MinHash catalog queries (set-equal

@@ -33,7 +33,7 @@ object PassStats {
         s"pairsDropped=${st.getLong(2)} maxBucket=${st.getLong(3)}")
     }
 
-    val sig = Signatures.minHashFromHashesCol(col("shs"), cfg)
+    val sig = Signatures.minHashFromIntHashesCol(col("shs"), cfg)
     report("lsh", feats.select(col("id"),
       explode(Signatures.bandHashKeysCol(sig, cfg.bands)).as("key")))
     report("simhash", feats.select(col("id"),

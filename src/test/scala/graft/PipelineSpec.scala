@@ -33,13 +33,13 @@ class PipelineSpec extends AnyFunSuite {
 
   // ---------------------------------------------------------- naive oracle
 
-  final case class OFeat(id: String, norm: String, shs: Set[Long],
+  final case class OFeat(id: String, norm: String, shs: Set[Int],
                          phash: Long, simhash: Long, chash: String)
 
   def oracleFeatures(recs: Seq[ImageGen.GenRecord]): Seq[OFeat] = recs.map { r =>
     val norm = Signatures.normalize(r.caption)
     OFeat(r.image_id, norm,
-      Signatures.shingles(norm, cfg.shingleK).map(Signatures.fastHash).toSet,
+      Signatures.shingles(norm, cfg.shingleK).map(Signatures.fastHash32).toSet,
       r.phash,
       Signatures.simHashWith(Signatures.words(norm), cfg.simhashBits, Signatures.fastHash),
       java.security.MessageDigest.getInstance("MD5").digest(r.bytes)

@@ -62,6 +62,26 @@ class SigExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("hashedShingles32 + minHashFromIntHashes == 32-bit Scala mirrors") {
+    val cfg = DedupConfig()
+    val a = Signatures.seedsA(cfg.numHashes, cfg.seed)
+    val b = Signatures.seedsB(cfg.numHashes, cfg.seed)
+    val got = df
+      .select(col("norm"), Signatures.hashedShingles32Col(col("norm"), 5).as("shs"))
+      .select(col("norm"), col("shs"),
+        Signatures.minHashFromIntHashesCol(col("shs"), cfg).as("sig"))
+      .collect()
+    got.foreach { r =>
+      val s = r.getString(0)
+      val wantShs = Signatures.shingles(s, 5).map(Signatures.fastHash32).distinct.sorted
+      assert(r.getSeq[Int](1) == wantShs, s"hashedShingles32 mismatch input='$s'")
+      // the int MinHash must equal the long-kernel MinHash over the
+      // sign-extended int values: same permutations, same P-arithmetic
+      val wantSig = Signatures.minHashFromHashes(wantShs.map(_.toLong), a, b).toSeq
+      assert(r.getSeq[Long](2) == wantSig, s"minHashFromIntHashes mismatch input='$s'")
+    }
+  }
+
   test("simHashWords(fast=true/false) == simHashWith(words, bits, hash)") {
     val got = df.select(col("norm"),
       Signatures.simHashFastCol(col("norm"), 60).as("f"),
