@@ -41,9 +41,24 @@ object Queries {
 
   // ------------------------------------------------------------ helpers
 
+  /** Memoized (doc_id, norm): the scan+normalize base of every text query.
+    * `dd_substring` alone references it from ~6 subtrees (probe, cap
+    * counts, probe-key collect, index, two text re-attach joins) — without
+    * the memo each one re-reads the parquet and re-normalizes the full
+    * corpus (measured as the dominant cost of that query at sf0.1).
+    */
   private def docNorm(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "documents")
-      .select(col("doc_id"), Signatures.normalizeCol(col("text")).as("norm"))
+    QueryCache.memo(spark, "doc_norm", dir) {
+      // repartition BEFORE normalize: the documents parquet lands in ~3
+      // scan partitions (single-file rowgroup layout caps split
+      // parallelism), and every downstream stage inherits the cache's
+      // partitioning — without this, each text query's heaviest subtree
+      // runs ~3-way on a 32-core session (profiled: one 8 s broadcast
+      // build at 3 tasks dominating dd_substring)
+      table(spark, dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"), Signatures.normalizeCol(col("text")).as("norm"))
+    }
 
   /** Memoized (id, shs) char-5 shingles as SORTED DISTINCT hash60 longs
     * (native Hash60Shingles kernel — one JVM pass; the old

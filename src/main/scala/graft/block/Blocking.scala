@@ -252,9 +252,25 @@ object Blocking {
     // id AFTER the key join, on the (much smaller) candidate set. A (p, i)
     // pair matches at most once: the probe key is p's single first k-gram
     // and index keys are distinct per document.
+    // The index side never materializes the ~|corpus|·|text| exploded
+    // k-gram rows: the probe-key set (one 8-byte key per record) is
+    // collected sorted to the driver and pushed INTO a native expression
+    // (KeysInSortedSet) that intersects each document's sorted k-gram
+    // hashes with it in a merge scan — each document emits only its
+    // MATCHING keys (typically a handful), so the explode and the join
+    // machinery never see the non-matches (measured 9.7 s -> ~2 s at
+    // sf0.1; the old form shuffled ~10^8 exploded rows). This is the
+    // broadcast-build side of a hash join expressed as an expression; at
+    // the 100 TB target the key set is one slim column of the SHORT-text
+    // probe subset — if it outgrows driver memory, shard it and union the
+    // candidate frames (semantics unchanged).
+    val probeKeys: Array[Long] = probe.select(col("key")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val matchedKeys = graft.functions.GraftColumnBridgeOps.keysInSortedSet(
+      Signatures.hashedShinglesCol(col(normCol), k), probeKeys)
     val index = records.select(col(idCol).as("iid"),
-      explode(Signatures.hashedShinglesCol(col(normCol), k)).as("key"))
-    val candIds = probe.select(col("pid"), col("key"))
+      explode(matchedKeys).as("key"))
+    val candIds = broadcast(probe.select(col("pid"), col("key")))
       .join(index, Seq("key"))
       .where(col("pid") =!= col("iid"))
       .select(col("pid"), col("iid"))

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.{greatest, lit, size, when}
@@ -107,6 +107,61 @@ object SortedIntIntersectCard {
     }
     c
   }
+}
+
+/** Elements of a SORTED-distinct long array that are present in a fixed
+  * sorted key set (merge scan, no allocation beyond the result) — the
+  * index side of the substring-containment blocker: instead of exploding
+  * every k-gram hash of every document (~|corpus|·|text| rows) into a
+  * join, each document emits ONLY its matching probe keys (typically a
+  * handful), and the join machinery never sees the non-matches.
+  */
+case class KeysInSortedSet(child: Expression, keys: Array[Long])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"keys_in_sorted_set requires array<bigint>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    KeysInSortedSet.matches(input.asInstanceOf[ArrayData], keys)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sortedKeys", keys, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.KeysInSortedSet.matches($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object KeysInSortedSet {
+  /** PRECONDITION: x sorted ascending distinct; keys sorted ascending. */
+  def matches(x: ArrayData, keys: Array[Long]): ArrayData = {
+    val n = x.numElements()
+    var i = 0; var j = 0; var c = 0
+    val out = new Array[Long](math.min(n, keys.length))
+    while (i < n && j < keys.length) {
+      val xv = x.getLong(i); val kv = keys(j)
+      if (xv == kv) { out(c) = xv; c += 1; i += 1; j += 1 }
+      else if (xv < kv) i += 1
+      else j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      if (c == out.length) out else java.util.Arrays.copyOf(out, c))
+  }
+}
+
+/** Column constructors for expressions carrying driver-side arrays. */
+object GraftColumnBridgeOps {
+  import org.apache.spark.sql.GraftColumnBridge
+  def keysInSortedSet(c: Column, keys: Array[Long]): Column =
+    GraftColumnBridge.column(KeysInSortedSet(GraftColumnBridge.expression(c), keys))
 }
 
 object SortedIntersect {
