@@ -19,6 +19,19 @@ object ExtQueries {
 
   import SparkEntry.table
 
+  /** Memoized, repartitioned embeddings base: the ~tens-of-MB parquet scans
+    * into 1-4 partitions (rowgroup layout), so every vector-side stage —
+    * SRP signatures, IVF cell assignment, norms — otherwise runs near
+    * single-threaded on a 32-core session (profiled: ann_lsh's heaviest
+    * stage at 1 task). Values are row-local, so repartitioning changes no
+    * result.
+    */
+  private def embBase(spark: SparkSession, dir: String): DataFrame =
+    QueryCache.memo(spark, "emb_base", dir) {
+      table(spark, dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+    }
+
   // --------------------------------------------------------------- ANN
 
   val annK = 10
@@ -26,7 +39,7 @@ object ExtQueries {
   val embThreshold = 0.4
 
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
-    val vecs = table(spark, dir, "embeddings")
+    val vecs = embBase(spark, dir)
     annotateQueries(vecs)
   }
 
@@ -48,7 +61,7 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, n
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM r WHERE rank <= $annK"""
 
   def embPairs(spark: SparkSession, dir: String): DataFrame =
-    Embeddings.thresholdPairs(table(spark, dir, "embeddings"), embThreshold)
+    Embeddings.thresholdPairs(embBase(spark, dir), embThreshold)
 
   private val embPairsSql =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
@@ -66,7 +79,7 @@ WHERE list_dot_product(a.v, b.v) /
     * asserted in OpsSpec).
     */
   def annLsh(spark: SparkSession, dir: String): DataFrame =
-    Embeddings.lshThresholdPairs(table(spark, dir, "embeddings"), 64, embThreshold)
+    Embeddings.lshThresholdPairs(embBase(spark, dir), 64, embThreshold)
 
   private val annLshSql = {
     val cos = "list_dot_product(x.v, y.v) / " +
@@ -83,7 +96,7 @@ WHERE $cos >= $embThreshold"""
     * (centroid literals + identical fold arithmetic).
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val vecs = table(spark, dir, "embeddings")
+    val vecs = embBase(spark, dir)
     Embeddings.ivfTopK(vecs, vecs.where(col("vec_id") % annQueryMod === 0), annK)
   }
 

@@ -40,10 +40,15 @@ object ConnectedComponents {
     // nodes shed neighbors to their minimum each round), so AQE's skew
     // splitting buys nothing here. Restored afterwards.
     val aqeKey = "spark.sql.adaptive.enabled"
+    val partsKey = "spark.sql.shuffle.partitions"
     val aqeWas = spark.conf.get(aqeKey, "true")
+    val partsWas = spark.conf.get(partsKey)
     spark.conf.set(aqeKey, "false")
     try runLoop(edges, maxIter, minIter)
-    finally spark.conf.set(aqeKey, aqeWas)
+    finally {
+      spark.conf.set(aqeKey, aqeWas)
+      spark.conf.set(partsKey, partsWas)
+    }
   }
 
   private def runLoop(edges: DataFrame, maxIter: Int, minIter: Int): DataFrame = {
@@ -65,6 +70,18 @@ object ConnectedComponents {
         .where(col("u") =!= col("v"))
         .distinct())
     rdd0.persist(StorageLevel.MEMORY_AND_DISK)
+    // Size the LOOP's shuffles to the edge set, not the session default:
+    // each round is a chain of shuffles over a frame that is usually tiny
+    // relative to the session's shuffle.partitions (a 5k-edge set at 32
+    // partitions = 8 rounds x ~10 stages x 32 near-empty tasks — profiled
+    // as pure scheduling overhead, run time 7x the CPU time). One
+    // materializing count on the already-persisted round-0 RDD picks
+    // ~20k edges/partition, floored at 1 and capped at the session value
+    // so huge edge sets keep full parallelism (restored by run()).
+    val n0 = e0.count()
+    val partsWas = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val loopParts = math.max(1L, math.min(partsWas.toLong, n0 / 20000L + 1L)).toInt
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     var e = e0
     var eRdd: org.apache.spark.rdd.RDD[_] = rdd0
 

@@ -38,6 +38,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 fails = 0
+# a query that THREW in Verify writes no result dir — that is a failure,
+# not a pass (observed: 4 ann queries crashed and the gate stayed green)
+present = {n for n in os.listdir(outdir) if os.path.isdir(os.path.join(outdir, n))}
+for name in sorted(set(oracles) - present):
+    print(f"{name:28s} MISSING (query failed in Verify?)")
+    fails += 1
 for name in sorted(os.listdir(outdir)):
     d = os.path.join(outdir, name)
     if not os.path.isdir(d):
