@@ -18,7 +18,8 @@ object Multimodal {
 
   final case class ImageFeatures(
       image_id: String, fmt: String, w: Int, h: Int,
-      decode_ok: Boolean, mean_luma: Double, phash64: Long, thumb8: Array[Byte])
+      decode_ok: Boolean, mean_luma: Double, phash64: Long,
+      phash_dct: Long, thumb8: Array[Byte])
 
   /** Decode + per-image features. Input needs (image_id, bytes, fmt). */
   def decodeFeatures(images: DataFrame): Dataset[ImageFeatures] = {
@@ -56,12 +57,12 @@ object Multimodal {
             var c = 0
             while (c < 64) { thumb(c) = (cell(c) / math.max(cnt(c), 1)).toByte; c += 1 }
             ImageFeatures(id, fmt, w, h, decode_ok = true, luma / px.length,
-              ImageGen.averageHash(px, w, h), thumb)
+              ImageGen.averageHash(px, w, h), PHash.dctHash64(px, w, h), thumb)
           } catch {
             // NonFatal + IOException only: swallowing OOM/fatal errors as
             // "decode failed" rows would hide real executor trouble
             case e if scala.util.control.NonFatal(e) =>
-              ImageFeatures(id, fmt, -1, -1, decode_ok = false, 0.0, 0L, Array.empty)
+              ImageFeatures(id, fmt, -1, -1, decode_ok = false, 0.0, 0L, 0L, Array.empty)
           }
         }
       }

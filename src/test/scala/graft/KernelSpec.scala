@@ -348,4 +348,47 @@ class KernelSpec extends AnyFunSuite {
       Annotated(P("b", Name("Jo", "Schmidt"), Seq()), "s2", 1.0, 2L)))
     assert(bad._2.exists(e => e.startsWith("name:") && e.contains("last")))
   }
+
+  // ------------------------------------------------------------ DCT pHash
+
+  test("DCT pHash: stable under jpeg re-encode, luma gain and brightness " +
+    "offset; discriminative across images (vs average-hash)") {
+    import graft.gen.ImageGen
+    import graft.ops.PHash
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val (w, h) = (48, 40)
+    val px = ImageGen.pixels(seed = 42L, base = 3L, w, h)
+    val base = PHash.dctHash64(px, w, h)
+    assert((base & 1L) == 0L, "DC bit must stay clear")
+
+    // jpeg q0.95 re-encode: requantization perturbs high-frequency detail;
+    // the low-frequency DCT block barely moves
+    val (jw, jh, jpx) = ImageGen.decode(ImageGen.encode(px, w, h, "jpg"))
+    assert(ham(base, PHash.dctHash64(jpx, jw, jh)) <= 4,
+      s"jpeg drift ${ham(base, PHash.dctHash64(jpx, jw, jh))}")
+
+    // global luma gain (x0.75) scales every DCT coefficient AND the AC
+    // median equally -> hash unchanged; brightness offset lands in the
+    // excluded DC term -> hash unchanged. Both invariances hold only
+    // WITHOUT clipping, so the offset check compares v/2 vs v/2+40 (max
+    // 167 — never clips); allow 2 bits for median ties near zero coeffs.
+    def mapPx(f: Int => Int): Array[Int] = px.map { p =>
+      val r = f((p >> 16) & 0xFF); val g = f((p >> 8) & 0xFF); val b = f(p & 0xFF)
+      (math.min(255, r) << 16) | (math.min(255, g) << 8) | math.min(255, b)
+    }
+    assert(ham(base, PHash.dctHash64(mapPx(v => v * 3 / 4), w, h)) <= 2, "gain drift")
+    val halfHash = PHash.dctHash64(mapPx(_ / 2), w, h)
+    assert(ham(halfHash, PHash.dctHash64(mapPx(v => v / 2 + 40), w, h)) <= 2,
+      "offset drift")
+    // the average-hash is NOT offset-invariant on this image family
+    // (spatial means shift through the global mean asymmetrically under
+    // clipping); do not assert its failure — just the pHash's success.
+
+    // different images must stay far apart (63 AC bits, ~31 expected)
+    val other = (0L until 8L).map { b =>
+      val opx = ImageGen.pixels(seed = 42L, base = 100L + b, w, h)
+      ham(base, PHash.dctHash64(opx, w, h))
+    }
+    assert(other.forall(_ >= 16), s"collision-prone: $other")
+  }
 }
