@@ -577,7 +577,7 @@ SELECT DISTINCT least(id, p) AS id1, greatest(id, p) AS id2 FROM u WHERE p IS NO
     * every image decodes and reproduces its metadata. Luma invariants stay
     * in OpsSpec (float summation is not oracle-portable).
     */
-  val mmMetaPath = "/tmp/graft_mm_meta"
+  val mmMetaPath = "/tmp/graft_mm_meta_v2" // v2: adds phash_dct (schema bump)
   private val mmMetaLock = new Object
 
   /** The metadata side table is a pure function of the generator seed, so
@@ -585,12 +585,24 @@ SELECT DISTINCT least(id, p) AS id1, greatest(id, p) AS id2 FROM u WHERE p IS NO
     * exists): re-runs and concurrent sessions read the identical bytes
     * instead of racing an overwrite, and repeat invocations of the query
     * are side-effect-free.
+    *
+    * (image_id, fmt, w, h) is the generator's INTENDED metadata — mm_stats
+    * hash-matches only if decode reproduces it. phash_dct is decode-derived
+    * (the lossy formats have no pre-encode hash that decode could match);
+    * it gates the pair-blocking and Hamming machinery of mm_phash_pairs
+    * against an independent SQL implementation, not the decode itself.
     */
   private def ensureMmMeta(gen: org.apache.spark.sql.Dataset[graft.gen.ImageGen.GenRecord]): Unit =
     mmMetaLock.synchronized {
-      if (!new java.io.File(mmMetaPath, "_SUCCESS").exists())
-        gen.toDF().select(col("image_id"), col("fmt"), col("w"), col("h"))
+      if (!new java.io.File(mmMetaPath, "_SUCCESS").exists()) {
+        val spark = gen.sparkSession
+        import spark.implicits._
+        gen.map { r =>
+          val (w, h, px) = graft.gen.ImageGen.decode(r.bytes)
+          (r.image_id, r.fmt, r.w, r.h, graft.ops.PHash.dctHash64(px, w, h))
+        }.toDF("image_id", "fmt", "w", "h", "phash_dct")
           .coalesce(1).write.mode("overwrite").parquet(mmMetaPath)
+      }
     }
 
   def mmStats(spark: SparkSession, dir: String): DataFrame = {
@@ -605,6 +617,45 @@ SELECT DISTINCT least(id, p) AS id1, greatest(id, p) AS id2 FROM u WHERE p IS NO
   CAST(min(w) AS INT) AS min_w, CAST(max(w) AS INT) AS max_w,
   CAST(min(h) AS INT) AS min_h, CAST(max(h) AS INT) AS max_h
 FROM read_parquet('$mmMetaPath/*.parquet') GROUP BY fmt"""
+
+  /** Image near-duplicate pairs over the DCT perceptual hash: pigeonhole
+    * bit-block blocking (8 x 8-bit blocks) + Hamming verify at t = 7.
+    * t = blocks-1 makes the blocking LOSSLESS (any two hashes within
+    * Hamming 7 agree on at least one full block), so the DuckDB oracle is
+    * the plain all-pairs Hamming join — the distributed candidate
+    * generation must reproduce it exactly, with zero misses.
+    *
+    * Scale note: 8-bit blocks (256 bucket values per block index) are the
+    * demo geometry for n=400; at corpus scale the pipeline's phash pass
+    * uses wider blocks (Model.scala phashBlocks = 2 x 32-bit) so buckets
+    * stay selective — guarantee Hamming <= blocks-1, recall beyond that
+    * from the cross-pass union (see Model.scala:106).
+    */
+  val mmPhashBlocks = 8
+  val mmHammingT: Int = mmPhashBlocks - 1
+
+  def mmPhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val gen = graft.gen.ImageGen.generate(spark, 400L, seed = 7L, partitions = 8)
+    ensureMmMeta(gen)
+    val feats = QueryCache.memo(spark, "mm_phash_feats", dir) {
+      Multimodal.decodeFeatures(graft.gen.ImageGen.asImages(gen).toDF())
+        .select(col("image_id").as("id"), col("phash_dct"))
+    }
+    val cands = Blocking.bitBlockPairs(feats, "id", "phash_dct", mmPhashBlocks, 64)
+    cands
+      .join(feats.select(col("id").as("id1"), col("phash_dct").as("ph1")), "id1")
+      .join(feats.select(col("id").as("id2"), col("phash_dct").as("ph2")), "id2")
+      .select(col("id1"), col("id2"),
+        bit_count(col("ph1").bitwiseXOR(col("ph2"))).cast("int").as("hd"))
+      .where(col("hd") <= mmHammingT)
+  }
+
+  private val mmPhashPairsSql =
+    s"""SELECT a.image_id AS id1, b.image_id AS id2,
+  CAST(bit_count(xor(a.phash_dct, b.phash_dct)) AS INT) AS hd
+FROM read_parquet('$mmMetaPath/*.parquet') a
+JOIN read_parquet('$mmMetaPath/*.parquet') b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash_dct, b.phash_dct)) <= $mmHammingT"""
 
   // ------------------------------------------------------------ registry
 
@@ -625,7 +676,8 @@ FROM read_parquet('$mmMetaPath/*.parquet') GROUP BY fmt"""
     "ev_hourly" -> (evHourly _),
     "refine_clusters" -> (refineClusters _),
     "dedup_lastwins" -> (dedupLastwins _),
-    "mm_stats" -> (mmStats _))
+    "mm_stats" -> (mmStats _),
+    "mm_phash_pairs" -> (mmPhashPairs _))
 
   val oracles: Map[String, String] = Map(
     "ann_topk" -> annTopKSql,
@@ -643,6 +695,7 @@ FROM read_parquet('$mmMetaPath/*.parquet') GROUP BY fmt"""
     "snm_multipass" -> snmMultipassSql,
     "ev_hourly" -> evHourlySql,
     "mm_stats" -> mmStatsSql,
+    "mm_phash_pairs" -> mmPhashPairsSql,
     "refine_clusters" -> (s"""WITH RECURSIVE ${OracleGen.nrmCte},
 ${OracleGen.wordNgramCtes(Queries.ngramN)},
 ${OracleGen.invertedIndexCandsCte},
