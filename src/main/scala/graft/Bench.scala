@@ -340,7 +340,13 @@ object Bench {
     // in "errors" so a regression can't masquerade as a speedup
     val spark = session(cpus, dirBytes(sfDir))
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the per-query phase (regression
+    // triage tool; the driver's full run leaves it unset)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       var failed = false
       val t = time {
         try fn(spark, sfDir).count()
