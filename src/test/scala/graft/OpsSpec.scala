@@ -270,4 +270,30 @@ class OpsSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("array<bigint>") || ex.getMessage.toLowerCase.contains("type"))
   }
+
+  test("pigeonhole blocking is lossless at t = blocks-1 (mm_phash_pairs " +
+    "contract): hd=7 always captured; hd=8 spread across all 8 blocks " +
+    "shares no block and is correctly excluded by BOTH query and oracle") {
+    import spark.implicits._
+    import graft.block.Blocking
+    // h1: 7 flips inside block 0 (worst concentration) -> blocks 1..7 intact
+    // h2: 7 flips spread over blocks 0..6 (worst dispersion) -> block 7 intact
+    // h3: 8 flips, exactly one per 8-bit block -> NO intact block vs h0,
+    //     and hd(h0,h3)=8 > t anyway, so exclusion is consistent
+    val h0 = 0L
+    val h1 = 0x7FL
+    val h2 = (0 until 7).map(b => 1L << (8 * b)).reduce(_ | _)
+    val h3 = (0 until 8).map(b => 1L << (8 * b)).reduce(_ | _)
+    val feats = Seq(("a", h0), ("b", h1), ("c", h2), ("d", h3))
+      .toDF("id", "phash_dct")
+    val cands = Blocking.bitBlockPairs(feats, "id", "phash_dct", 8, 64)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(cands.contains(("a", "b")), "hd=7 concentrated must be captured")
+    assert(cands.contains(("a", "c")), "hd=7 dispersed must be captured")
+    assert(!cands.contains(("a", "d")),
+      "hd=8 one-flip-per-block shares no block key")
+    // and hd(h1,h2)=14, hd(h1,h3)=13, hd(h2,h3)=1: (c,d) differ only in
+    // block 7, so they DO share blocks 0..6 -> captured, verify keeps it
+    assert(cands.contains(("c", "d")), "hd=1 pair must be captured")
+  }
 }
