@@ -650,6 +650,35 @@ FROM read_parquet('$mmMetaPath/*.parquet') GROUP BY fmt"""
       .where(col("hd") <= mmHammingT)
   }
 
+  /** Frame sampling end-to-end gate: the query demuxes the binary video
+    * column and sums sampled frames' bytes; the oracle reads the
+    * generator's per-frame truth (computed from the pixel function, never
+    * from the encoded bytes) and applies the same stride in SQL — a wrong
+    * frame offset, stride, or header parse breaks the hash.
+    */
+  val mmFrameEvery = 3
+  val mmVideoMetaPath = "/tmp/graft_video_meta"
+  private val mmVideoMetaLock = new Object
+
+  private def ensureVideoMeta(spark: SparkSession): Unit =
+    mmVideoMetaLock.synchronized {
+      if (!new java.io.File(mmVideoMetaPath, "_SUCCESS").exists())
+        graft.gen.VideoGen.generateMeta(spark, 300L, seed = 11L).toDF()
+          .coalesce(1).write.mode("overwrite").parquet(mmVideoMetaPath)
+    }
+
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    ensureVideoMeta(spark)
+    val videos = graft.gen.VideoGen.generate(spark, 300L, seed = 11L).toDF()
+    Multimodal.frameSample(videos, mmFrameEvery).toDF()
+      .select(col("video_id"), col("frame_idx"), col("luma_sum"))
+  }
+
+  private val mmFrameSampleSql =
+    s"""SELECT video_id, frame_idx, luma_sum
+FROM read_parquet('$mmVideoMetaPath/*.parquet')
+WHERE frame_idx % $mmFrameEvery = 0"""
+
   private val mmPhashPairsSql =
     s"""SELECT a.image_id AS id1, b.image_id AS id2,
   CAST(bit_count(xor(a.phash_dct, b.phash_dct)) AS INT) AS hd
@@ -677,7 +706,8 @@ WHERE bit_count(xor(a.phash_dct, b.phash_dct)) <= $mmHammingT"""
     "refine_clusters" -> (refineClusters _),
     "dedup_lastwins" -> (dedupLastwins _),
     "mm_stats" -> (mmStats _),
-    "mm_phash_pairs" -> (mmPhashPairs _))
+    "mm_phash_pairs" -> (mmPhashPairs _),
+    "mm_frame_sample" -> (mmFrameSample _))
 
   val oracles: Map[String, String] = Map(
     "ann_topk" -> annTopKSql,
@@ -696,6 +726,7 @@ WHERE bit_count(xor(a.phash_dct, b.phash_dct)) <= $mmHammingT"""
     "ev_hourly" -> evHourlySql,
     "mm_stats" -> mmStatsSql,
     "mm_phash_pairs" -> mmPhashPairsSql,
+    "mm_frame_sample" -> mmFrameSampleSql,
     "refine_clusters" -> (s"""WITH RECURSIVE ${OracleGen.nrmCte},
 ${OracleGen.wordNgramCtes(Queries.ngramN)},
 ${OracleGen.invertedIndexCandsCte},

@@ -68,6 +68,47 @@ object Multimodal {
       }
   }
 
+  final case class SampledFrame(
+      video_id: String, frame_idx: Int, w: Int, h: Int, luma_sum: Long)
+
+  /** Frame sampling over a video-shaped binary column: demux the container
+    * (the deterministic [[graft.gen.VideoGen]] stub format — a real
+    * pipeline swaps in an FFmpeg-style demuxer here, same signature), keep
+    * every `everyN`-th frame, and emit one small typed row per sampled
+    * frame. The 100 TB shape is the same as image decode: the binary
+    * column is consumed inside `mapPartitions` in the scan stage and never
+    * shuffles — only (id, frame_idx, stats) rows leave it, and the output
+    * grows by frames/everyN, not by payload bytes. Malformed containers
+    * (bad magic / truncated payload) yield no frames rather than garbage
+    * sums.
+    */
+  def frameSample(videos: DataFrame, everyN: Int): Dataset[SampledFrame] = {
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
+    val spark = videos.sparkSession
+    import spark.implicits._
+    videos.select(col("video_id"), col("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+          if (bytes.length < 16 || bb.getInt() != graft.gen.VideoGen.Magic) Iterator.empty
+          else {
+            val w = bb.getInt(); val h = bb.getInt(); val f = bb.getInt()
+            val frameBytes = w.toLong * h
+            if (f < 0 || frameBytes <= 0 || 16L + f * frameBytes != bytes.length)
+              Iterator.empty
+            else (0 until f by everyN).iterator.map { fr =>
+              var s = 0L
+              var p = 16 + fr * frameBytes.toInt
+              val end = p + frameBytes.toInt
+              while (p < end) { s += bytes(p) & 0xFF; p += 1 }
+              SampledFrame(id, fr, w, h, s)
+            }
+          }
+        }
+      }
+  }
+
   /** Aggregate decode statistics per format — the pipeline health check. */
   def formatStats(feats: Dataset[ImageFeatures]): DataFrame =
     feats.toDF().groupBy(col("fmt")).agg(

@@ -271,6 +271,30 @@ class OpsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("array<bigint>") || ex.getMessage.toLowerCase.contains("type"))
   }
 
+  test("frameSample: stride semantics vs generator truth; malformed " +
+    "containers yield no frames, not garbage") {
+    import spark.implicits._
+    import graft.gen.VideoGen
+    val vids = VideoGen.generate(spark, 20L, seed = 99L).toDF()
+    val got = Multimodal.frameSample(vids, 4)
+      .collect().map(f => (f.video_id, f.frame_idx) -> f.luma_sum).toMap
+    val want = (0L until 20L).flatMap(i => VideoGen.frameMeta(99L, i))
+      .filter(_.frame_idx % 4 == 0)
+      .map(m => (m.video_id, m.frame_idx) -> m.luma_sum).toMap
+    assert(got == want, s"sampled frames differ: got ${got.size}, want ${want.size}")
+    // everyN = 1 keeps every frame
+    val all = Multimodal.frameSample(vids, 1).count()
+    assert(all == (0L until 20L).map(i => VideoGen.frameMeta(99L, i).size).sum)
+    // malformed: bad magic, truncated payload, header-only
+    val ok = VideoGen.record(99L, 0L)
+    val badMagic = ok.bytes.clone(); badMagic(0) = 0x00
+    val truncated = ok.bytes.take(ok.bytes.length - 1)
+    val headerOnly = ok.bytes.take(12)
+    val bad = Seq(("b1", badMagic), ("b2", truncated), ("b3", headerOnly))
+      .toDF("video_id", "bytes")
+    assert(Multimodal.frameSample(bad, 1).count() == 0)
+  }
+
   test("pigeonhole blocking is lossless at t = blocks-1 (mm_phash_pairs " +
     "contract): hd=7 always captured; hd=8 spread across all 8 blocks " +
     "shares no block and is correctly excluded by BOTH query and oracle") {
