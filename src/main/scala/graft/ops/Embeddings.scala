@@ -72,28 +72,18 @@ object Embeddings {
     * emitted as literals by the ann_lsh oracle SQL).
     */
   def srpPlanes(bits: Int, dim: Int, seed: Long): Array[Array[Double]] =
-    Array.tabulate(bits, dim)((b, d) =>
-      if ((Signatures.hash60(s"srp:$seed:$b:$d") & 1L) == 1L) 1.0 else -1.0)
+    graft.functions.SrpSignature.planes(bits, dim, seed)
 
-  def lshBuckets(vectors: DataFrame, dim: Int, bits: Int, bands: Int, seed: Long): DataFrame = {
-    val planes = srpPlanes(bits, dim, seed)
-    val sig = udf((v: Seq[Float]) => {
-      var out = 0L
-      var b = 0
-      while (b < bits) {
-        var acc = 0.0
-        var d = 0
-        val p = planes(b)
-        while (d < v.length && d < dim) { acc += p(d) * v(d); d += 1 }
-        if (acc > 0) out |= (1L << b)
-        b += 1
-      }
-      out
-    })
-    vectors.withColumn("srp", sig(col("embedding")))
+  /** Corpus-side SRP bucketing — the signature is a native codegen'd
+    * expression ([[graft.functions.SrpSignature]]): at index-build scale
+    * this is the per-vector hot map, and the boxed-UDF version it replaces
+    * allocated a Seq[Float] per row and broke the scan's codegen span.
+    */
+  def lshBuckets(vectors: DataFrame, dim: Int, bits: Int, bands: Int, seed: Long): DataFrame =
+    vectors.withColumn("srp",
+        graft.functions.SrpSignature(col("embedding"), bits, dim, seed))
       .select(col("vec_id"), col("embedding"),
         explode(Signatures.bitBlockKeysCol(col("srp"), bands, bits)).as("bucket"))
-  }
 
   /** Deterministic IVF coarse quantizer: K data-independent centroids with
     * coordinates derived from hash60 (uniform in [-1, 1]) — no training
@@ -198,21 +188,12 @@ object Embeddings {
   /** Cell score used for assignment: argmax_c (v·c − ||c||²/2), the
     * L2-nearest centroid rewritten without ||v||². Ties break to the lower
     * cell index. Scores are sequential-fold doubles, so a SQL oracle with
-    * `list_dot_product` reproduces them bit-for-bit.
+    * `list_dot_product` reproduces them bit-for-bit. Native codegen'd
+    * expression ([[graft.functions.IvfCells]]) — the corpus-side cell
+    * assignment is the O(n·cells·dim) map of every index build.
     */
-  def ivfCellsUdf(cents: Array[Array[Double]], nprobe: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
-    val halfNorms = cents.map(c => c.map(x => x * x).sum / 2)
-    udf((v: Seq[Float]) => {
-      val scores = cents.indices.map { c =>
-        var acc = 0.0
-        val p = cents(c)
-        var d = 0
-        while (d < v.length && d < p.length) { acc += p(d) * v(d); d += 1 }
-        (acc - halfNorms(c), c)
-      }
-      scores.sortBy { case (s, c) => (-s, c) }.take(nprobe).map(_._2)
-    })
-  }
+  def ivfCellsUdf(cents: Array[Array[Double]], nprobe: Int): Column => Column =
+    v => graft.functions.IvfCells(v, cents, nprobe)
 
   /** IVF top-k ANN: assign every vector to its nearest deterministic
     * centroid cell (one shuffle), probe each query's `nprobe` nearest

@@ -96,6 +96,27 @@ class PlanSpec extends AnyFunSuite {
     assert(spans == Set("1"), s"feature projection should be one codegen span, saw $spans:\n$plan")
   }
 
+  test("ANN corpus-side stages (SRP bucketing, IVF cell assignment) are UDF-free") {
+    import spark.implicits._
+    val vecs = (0L until 64L)
+      .map(i => (i, Array.tabulate(64)(d => ((i * 31 + d) % 13).toFloat / 13f).toSeq))
+      .toDF("vec_id", "embedding")
+    def assertNoUdf(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      val udfs = df.queryExecution.optimizedPlan.collect {
+        case p => p.expressions.flatMap(_.collect {
+          case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+        })
+      }.flatten
+      assert(udfs.isEmpty, s"$what must not contain Scala UDFs: $udfs")
+    }
+    // the two O(corpus) index-build maps — native AnnExprs since round 3
+    assertNoUdf(graft.ops.Embeddings.lshBuckets(vecs, 64, 16, 8, 42L), "SRP bucketing")
+    val cellOf = graft.ops.Embeddings.ivfCellsUdf(
+      graft.ops.Embeddings.ivfCentroids(16, 64, 42L), 1)
+    assertNoUdf(vecs.select(col("vec_id"), explode(cellOf(col("embedding"))).as("cell")),
+      "IVF cell assignment")
+  }
+
   test("snmPairsScalable emits exactly the snmPairs pair set (boundaries included)") {
     import spark.implicits._
     // keys with heavy ties + nulls, ids out of order; 4 partitions forces
