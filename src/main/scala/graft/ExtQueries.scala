@@ -679,6 +679,32 @@ FROM read_parquet('$mmMetaPath/*.parquet') GROUP BY fmt"""
 FROM read_parquet('$mmVideoMetaPath/*.parquet')
 WHERE frame_idx % $mmFrameEvery = 0"""
 
+  /** Audio feature extraction end-to-end gate, same design as
+    * mm_frame_sample: the query decodes the PCM container, the oracle
+    * reads per-clip truth computed from the sample function (never the
+    * encoded bytes) — a wrong endianness, header parse, or sample stride
+    * breaks the hash.
+    */
+  val mmAudioMetaPath = "/tmp/graft_audio_meta"
+  private val mmAudioMetaLock = new Object
+
+  private def ensureAudioMeta(spark: SparkSession): Unit =
+    mmAudioMetaLock.synchronized {
+      if (!new java.io.File(mmAudioMetaPath, "_SUCCESS").exists())
+        graft.gen.AudioGen.generateMeta(spark, 300L, seed = 13L).toDF()
+          .coalesce(1).write.mode("overwrite").parquet(mmAudioMetaPath)
+    }
+
+  def mmAudioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    ensureAudioMeta(spark)
+    val audios = graft.gen.AudioGen.generate(spark, 300L, seed = 13L).toDF()
+    Multimodal.audioFeatures(audios).toDF()
+  }
+
+  private val mmAudioFeaturesSql =
+    s"""SELECT audio_id, sample_rate, n_samples, sum_abs, peak, zero_crossings
+FROM read_parquet('$mmAudioMetaPath/*.parquet')"""
+
   private val mmPhashPairsSql =
     s"""SELECT a.image_id AS id1, b.image_id AS id2,
   CAST(bit_count(xor(a.phash_dct, b.phash_dct)) AS INT) AS hd
@@ -707,7 +733,8 @@ WHERE bit_count(xor(a.phash_dct, b.phash_dct)) <= $mmHammingT"""
     "dedup_lastwins" -> (dedupLastwins _),
     "mm_stats" -> (mmStats _),
     "mm_phash_pairs" -> (mmPhashPairs _),
-    "mm_frame_sample" -> (mmFrameSample _))
+    "mm_frame_sample" -> (mmFrameSample _),
+    "mm_audio_features" -> (mmAudioFeatures _))
 
   val oracles: Map[String, String] = Map(
     "ann_topk" -> annTopKSql,
@@ -727,6 +754,7 @@ WHERE bit_count(xor(a.phash_dct, b.phash_dct)) <= $mmHammingT"""
     "mm_stats" -> mmStatsSql,
     "mm_phash_pairs" -> mmPhashPairsSql,
     "mm_frame_sample" -> mmFrameSampleSql,
+    "mm_audio_features" -> mmAudioFeaturesSql,
     "refine_clusters" -> (s"""WITH RECURSIVE ${OracleGen.nrmCte},
 ${OracleGen.wordNgramCtes(Queries.ngramN)},
 ${OracleGen.invertedIndexCandsCte},

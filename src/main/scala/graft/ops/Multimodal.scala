@@ -109,6 +109,52 @@ object Multimodal {
       }
   }
 
+  final case class AudioFeatures(
+      audio_id: String, sample_rate: Int, n_samples: Int,
+      sum_abs: Long, peak: Int, zero_crossings: Long)
+
+  /** Audio feature extraction over a PCM-shaped binary column: decode the
+    * [[graft.gen.AudioGen]] container (stub for a real decoder, same
+    * signature) and emit per-clip integer-exact loudness/activity features
+    * — sum of |sample| (the integer core of RMS), peak amplitude, and
+    * zero-crossing count (the classic cheap voicing/noisiness signal).
+    * Same 100 TB shape as the image/video paths: bytes consumed inside
+    * `mapPartitions` at the scan, only small typed rows leave the stage.
+    * Malformed clips (bad magic / truncated) are dropped.
+    */
+  def audioFeatures(audios: DataFrame): Dataset[AudioFeatures] = {
+    val spark = audios.sparkSession
+    import spark.implicits._
+    audios.select(col("audio_id"), col("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          if (bytes.length < 16 || bb.getInt() != graft.gen.AudioGen.Magic) None
+          else {
+            val rate = bb.getInt(); val n = bb.getInt(); bb.getInt()
+            if (n < 0 || 16L + 2L * n != bytes.length) None
+            else {
+              var sumAbs = 0L; var peak = 0; var zc = 0L
+              var prev = 0
+              var s = 0
+              while (s < n) {
+                val v = bb.getShort(16 + 2 * s).toInt
+                val a = math.abs(v)
+                sumAbs += a
+                if (a > peak) peak = a
+                if (s > 0 && ((prev >= 0 && v < 0) || (prev < 0 && v >= 0))) zc += 1
+                prev = v
+                s += 1
+              }
+              Some(AudioFeatures(id, rate, n, sumAbs, peak, zc))
+            }
+          }
+        }
+      }
+  }
+
   /** Aggregate decode statistics per format — the pipeline health check. */
   def formatStats(feats: Dataset[ImageFeatures]): DataFrame =
     feats.toDF().groupBy(col("fmt")).agg(

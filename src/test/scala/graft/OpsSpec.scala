@@ -295,6 +295,23 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.frameSample(bad, 1).count() == 0)
   }
 
+  test("audioFeatures: decode matches generator truth; malformed clips dropped") {
+    import spark.implicits._
+    import graft.gen.AudioGen
+    val clips = AudioGen.generate(spark, 15L, seed = 77L).toDF()
+    val got = Multimodal.audioFeatures(clips)
+      .collect().map(f => f.audio_id ->
+        (f.sample_rate, f.n_samples, f.sum_abs, f.peak, f.zero_crossings)).toMap
+    val want = (0L until 15L).map(i => AudioGen.clipMeta(77L, i)).map(m =>
+      m.audio_id -> (m.sample_rate, m.n_samples, m.sum_abs, m.peak, m.zero_crossings)).toMap
+    assert(got == want)
+    val ok = AudioGen.record(77L, 0L)
+    val badMagic = ok.bytes.clone(); badMagic(3) = 0x00
+    val truncated = ok.bytes.take(ok.bytes.length - 1)
+    val bad = Seq(("b1", badMagic), ("b2", truncated)).toDF("audio_id", "bytes")
+    assert(Multimodal.audioFeatures(bad).count() == 0)
+  }
+
   test("pigeonhole blocking is lossless at t = blocks-1 (mm_phash_pairs " +
     "contract): hd=7 always captured; hd=8 spread across all 8 blocks " +
     "shares no block and is correctly excluded by BOTH query and oracle") {
