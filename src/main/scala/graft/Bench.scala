@@ -341,9 +341,17 @@ object Bench {
     val spark = session(cpus, dirBytes(sfDir))
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     // SPARK_GRAFT_ONLY=q1,q2 restricts the per-query phase (regression
-    // triage tool; the driver's full run leaves it unset)
+    // triage tool; the driver's full run leaves it unset). Unknown names
+    // fail fast: a typo would otherwise run ZERO queries and emit a
+    // near-0s total with empty errors — a fake instant pass in a file
+    // whose design goal is that regressions can't masquerade as speedups.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in the catalog: ${unknown.toSeq.sorted.mkString(",")}")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

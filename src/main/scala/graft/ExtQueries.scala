@@ -577,36 +577,50 @@ SELECT DISTINCT least(id, p) AS id1, greatest(id, p) AS id2 FROM u WHERE p IS NO
     * every image decodes and reproduces its metadata. Luma invariants stay
     * in OpsSpec (float summation is not oracle-portable).
     */
-  val mmMetaPath = "/tmp/graft_mm_meta_v2" // v2: adds phash_dct (schema bump)
-  private val mmMetaLock = new Object
+  // Generator parameters shared by every mm query body AND its side-table
+  // writer — and encoded into the side-table PATH together with a schema
+  // version, so changing any of them (or the table's columns) can never
+  // read a stale truth written by an older binary: a new path is simply
+  // built fresh. (The lesson of the hand-bumped "_v2" this replaced.)
+  val mmImageN = 400L;  val mmImageSeed = 7L
+  val mmVideoN = 300L;  val mmVideoSeed = 11L
+  val mmAudioN = 300L;  val mmAudioSeed = 13L
+  val mmMetaPath = s"/tmp/graft_mm_meta_n${mmImageN}_s${mmImageSeed}_v2"
+  val mmVideoMetaPath = s"/tmp/graft_video_meta_n${mmVideoN}_s${mmVideoSeed}_v1"
+  val mmAudioMetaPath = s"/tmp/graft_audio_meta_n${mmAudioN}_s${mmAudioSeed}_v1"
 
-  /** The metadata side table is a pure function of the generator seed, so
-    * it is written AT MOST ONCE per host (skipped when the _SUCCESS marker
-    * exists): re-runs and concurrent sessions read the identical bytes
-    * instead of racing an overwrite, and repeat invocations of the query
-    * are side-effect-free.
-    *
-    * (image_id, fmt, w, h) is the generator's INTENDED metadata — mm_stats
+  /** Side tables are pure functions of (generator, n, seed, schema) — all
+    * encoded in the path — so each is written AT MOST ONCE per host
+    * (skipped when the _SUCCESS marker exists): re-runs and concurrent
+    * sessions read identical bytes instead of racing an overwrite, and
+    * repeat invocations of the queries are side-effect-free. One lock
+    * serializes the rare first-write of all three.
+    */
+  private val mmSideTableLock = new Object
+  private def ensureSideTable(path: String)(build: => DataFrame): Unit =
+    mmSideTableLock.synchronized {
+      if (!new java.io.File(path, "_SUCCESS").exists())
+        build.coalesce(1).write.mode("overwrite").parquet(path)
+    }
+
+  /** (image_id, fmt, w, h) is the generator's INTENDED metadata — mm_stats
     * hash-matches only if decode reproduces it. phash_dct is decode-derived
     * (the lossy formats have no pre-encode hash that decode could match);
     * it gates the pair-blocking and Hamming machinery of mm_phash_pairs
     * against an independent SQL implementation, not the decode itself.
     */
   private def ensureMmMeta(gen: org.apache.spark.sql.Dataset[graft.gen.ImageGen.GenRecord]): Unit =
-    mmMetaLock.synchronized {
-      if (!new java.io.File(mmMetaPath, "_SUCCESS").exists()) {
-        val spark = gen.sparkSession
-        import spark.implicits._
-        gen.map { r =>
-          val (w, h, px) = graft.gen.ImageGen.decode(r.bytes)
-          (r.image_id, r.fmt, r.w, r.h, graft.ops.PHash.dctHash64(px, w, h))
-        }.toDF("image_id", "fmt", "w", "h", "phash_dct")
-          .coalesce(1).write.mode("overwrite").parquet(mmMetaPath)
-      }
+    ensureSideTable(mmMetaPath) {
+      val spark = gen.sparkSession
+      import spark.implicits._
+      gen.map { r =>
+        val (w, h, px) = graft.gen.ImageGen.decode(r.bytes)
+        (r.image_id, r.fmt, r.w, r.h, graft.ops.PHash.dctHash64(px, w, h))
+      }.toDF("image_id", "fmt", "w", "h", "phash_dct")
     }
 
   def mmStats(spark: SparkSession, dir: String): DataFrame = {
-    val gen = graft.gen.ImageGen.generate(spark, 400L, seed = 7L, partitions = 8)
+    val gen = graft.gen.ImageGen.generate(spark, mmImageN, seed = mmImageSeed, partitions = 8)
     ensureMmMeta(gen)
     val images = graft.gen.ImageGen.asImages(gen).toDF()
     Multimodal.decodeStats(Multimodal.decodeFeatures(images))
@@ -635,7 +649,7 @@ FROM read_parquet('$mmMetaPath/*.parquet') GROUP BY fmt"""
   val mmHammingT: Int = mmPhashBlocks - 1
 
   def mmPhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val gen = graft.gen.ImageGen.generate(spark, 400L, seed = 7L, partitions = 8)
+    val gen = graft.gen.ImageGen.generate(spark, mmImageN, seed = mmImageSeed, partitions = 8)
     ensureMmMeta(gen)
     val feats = QueryCache.memo(spark, "mm_phash_feats", dir) {
       Multimodal.decodeFeatures(graft.gen.ImageGen.asImages(gen).toDF())
@@ -657,19 +671,12 @@ FROM read_parquet('$mmMetaPath/*.parquet') GROUP BY fmt"""
     * frame offset, stride, or header parse breaks the hash.
     */
   val mmFrameEvery = 3
-  val mmVideoMetaPath = "/tmp/graft_video_meta"
-  private val mmVideoMetaLock = new Object
-
-  private def ensureVideoMeta(spark: SparkSession): Unit =
-    mmVideoMetaLock.synchronized {
-      if (!new java.io.File(mmVideoMetaPath, "_SUCCESS").exists())
-        graft.gen.VideoGen.generateMeta(spark, 300L, seed = 11L).toDF()
-          .coalesce(1).write.mode("overwrite").parquet(mmVideoMetaPath)
-    }
 
   def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
-    ensureVideoMeta(spark)
-    val videos = graft.gen.VideoGen.generate(spark, 300L, seed = 11L).toDF()
+    ensureSideTable(mmVideoMetaPath) {
+      graft.gen.VideoGen.generateMeta(spark, mmVideoN, seed = mmVideoSeed).toDF()
+    }
+    val videos = graft.gen.VideoGen.generate(spark, mmVideoN, seed = mmVideoSeed).toDF()
     Multimodal.frameSample(videos, mmFrameEvery).toDF()
       .select(col("video_id"), col("frame_idx"), col("luma_sum"))
   }
@@ -685,19 +692,11 @@ WHERE frame_idx % $mmFrameEvery = 0"""
     * encoded bytes) — a wrong endianness, header parse, or sample stride
     * breaks the hash.
     */
-  val mmAudioMetaPath = "/tmp/graft_audio_meta"
-  private val mmAudioMetaLock = new Object
-
-  private def ensureAudioMeta(spark: SparkSession): Unit =
-    mmAudioMetaLock.synchronized {
-      if (!new java.io.File(mmAudioMetaPath, "_SUCCESS").exists())
-        graft.gen.AudioGen.generateMeta(spark, 300L, seed = 13L).toDF()
-          .coalesce(1).write.mode("overwrite").parquet(mmAudioMetaPath)
-    }
-
   def mmAudioFeatures(spark: SparkSession, dir: String): DataFrame = {
-    ensureAudioMeta(spark)
-    val audios = graft.gen.AudioGen.generate(spark, 300L, seed = 13L).toDF()
+    ensureSideTable(mmAudioMetaPath) {
+      graft.gen.AudioGen.generateMeta(spark, mmAudioN, seed = mmAudioSeed).toDF()
+    }
+    val audios = graft.gen.AudioGen.generate(spark, mmAudioN, seed = mmAudioSeed).toDF()
     Multimodal.audioFeatures(audios).toDF()
   }
 

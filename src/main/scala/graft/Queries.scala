@@ -269,19 +269,23 @@ ${OracleGen.ccSql}"""
 
   /** Token counting + basic quality stats (training-data extension).
     * Two token counts: whitespace tokens, and a BPE-ish regex count
-    * (maximal letter runs | digit runs | single punctuation marks over the
-    * normalized text — the GPT-2 pretokenizer's shape without the merge
-    * table, a stable proxy for LLM token cost). The alternation is
-    * class-disjoint, so Java and DuckDB regex engines count identically.
+    * (maximal letter runs | digit runs | single punctuation marks — the
+    * GPT-2 pretokenizer's shape without the merge table, a stable proxy
+    * for LLM token cost). Counted over lower(text) RAW, not the
+    * normalized text: normalization strips punctuation, which would make
+    * the punctuation branch dead and undercount real BPE cost. The
+    * alternation is class-disjoint (letters / digits / whitespace /
+    * other partition every position), so Java and DuckDB regex engines
+    * count identically.
     */
-  val bpeTokenRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  val bpeTokenRe = """[a-z]+|[0-9]+|[^a-z0-9\s]"""
 
   def taTokens(spark: SparkSession, dir: String): DataFrame = {
     val norm = Signatures.normalizeCol(col("text"))
     table(spark, dir, "documents").select(
       col("doc_id"),
       size(split(trim(col("text")), "\\s+")).as("n_tokens"),
-      regexp_count(norm, lit(bpeTokenRe)).as("n_bpe_tokens"),
+      regexp_count(lower(col("text")), lit(bpeTokenRe)).as("n_bpe_tokens"),
       length(norm).as("n_chars_norm"),
       length(col("text")).as("n_chars_raw"))
   }
@@ -289,8 +293,7 @@ ${OracleGen.ccSql}"""
   private val taTokensSql =
     s"""SELECT doc_id,
         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
-        len(regexp_extract_all(${Signatures.normalizeSql("text")}, '$bpeTokenRe'))
-          AS n_bpe_tokens,
+        len(regexp_extract_all(lower(text), '$bpeTokenRe')) AS n_bpe_tokens,
         length(${Signatures.normalizeSql("text")}) AS n_chars_norm,
         length(text) AS n_chars_raw
         FROM documents"""

@@ -23,7 +23,24 @@ object AnnKernels {
   /** Packed SRP sign bits: bit b set iff dot(planes(b), v) > 0, dims
     * beyond min(v.length, dim) ignored (ref: Embeddings.lshBuckets UDF).
     */
+  /** Parquet array schemas usually carry containsNull=true even for
+    * never-null data, so the type check cannot reject them; a null element
+    * read as 0.0f would silently zero-poison signatures, so fail loudly
+    * (one cheap bitmap pass — <2% of the kernel's multiply-adds), matching
+    * the unboxing NPE the replaced Seq[Float] UDFs raised.
+    */
+  private def requireNoNulls(v: ArrayData): Unit = {
+    var i = 0
+    val n = v.numElements()
+    while (i < n) {
+      if (v.isNullAt(i))
+        throw new IllegalArgumentException(s"null element at index $i in embedding")
+      i += 1
+    }
+  }
+
   def srpSig(v: ArrayData, planes: Array[Array[Double]], bits: Int, dim: Int): Long = {
+    requireNoNulls(v)
     val n = v.numElements()
     var out = 0L
     var b = 0
@@ -46,6 +63,7 @@ object AnnKernels {
     */
   def ivfCells(v: ArrayData, cents: Array[Array[Double]],
                halfNorms: Array[Double], nprobe: Int): ArrayData = {
+    requireNoNulls(v)
     val k = cents.length
     val n = v.numElements()
     val scores = new Array[Double](k)
@@ -69,6 +87,14 @@ object AnnKernels {
       while (c < k) {
         if (!taken(c) && scores(c) > bestS) { bestS = scores(c); best = c }
         c += 1
+      }
+      if (best == -1) {
+        // all remaining scores are NaN or -Inf ('>' never fires): fall back
+        // to the lowest untaken index — exactly where the replaced UDF's
+        // total-order sortBy((-s, c)) placed such cells (NaN/-Inf last,
+        // index-ascending), so results stay identical and defined
+        c = 0
+        while (best == -1 && c < k) { if (!taken(c)) best = c else c += 1 }
       }
       taken(best) = true
       out(r) = best

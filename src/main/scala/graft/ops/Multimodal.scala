@@ -95,7 +95,12 @@ object Multimodal {
           else {
             val w = bb.getInt(); val h = bb.getInt(); val f = bb.getInt()
             val frameBytes = w.toLong * h
-            if (f < 0 || frameBytes <= 0 || 16L + f * frameBytes != bytes.length)
+            // each dimension must be positive individually (w=h=-1 gives a
+            // positive product), and frameBytes must fit the payload BEFORE
+            // the f*frameBytes product so the product cannot overflow Long
+            // (both factors then bounded by bytes.length <= Int.MaxValue)
+            if (w <= 0 || h <= 0 || f < 0 || frameBytes > bytes.length - 16L ||
+                16L + f * frameBytes != bytes.length)
               Iterator.empty
             else (0 until f by everyN).iterator.map { fr =>
               var s = 0L

@@ -293,6 +293,39 @@ class OpsSpec extends AnyFunSuite {
     val bad = Seq(("b1", badMagic), ("b2", truncated), ("b3", headerOnly))
       .toDF("video_id", "bytes")
     assert(Multimodal.frameSample(bad, 1).count() == 0)
+    // adversarial header: w=h=-1 gives a POSITIVE frameBytes product (1)
+    // and a length-consistent frame count — must still yield no frames
+    val evil = java.nio.ByteBuffer.allocate(16 + 8)
+    evil.putInt(VideoGen.Magic); evil.putInt(-1); evil.putInt(-1); evil.putInt(8)
+    evil.put(Array.fill[Byte](8)(1))
+    val evilDf = Seq(("e1", evil.array())).toDF("video_id", "bytes")
+    assert(Multimodal.frameSample(evilDf, 1).count() == 0,
+      "negative dims with positive product must be rejected")
+  }
+
+  test("IvfCells: NaN-poisoned embedding yields a defined, deterministic " +
+    "assignment (UDF total-order semantics), never a crash; null element " +
+    "fails loudly instead of silently zero-padding") {
+    import spark.implicits._
+    val cents = Embeddings.ivfCentroids(8, 4, 42L)
+    val nan = Seq((1L, Seq(Float.NaN, 1f, 2f, 3f))).toDF("vec_id", "embedding")
+    val cells = nan.select(
+        graft.functions.IvfCells(col("embedding"), cents, 3).as("cells"))
+      .head().getSeq[Int](0)
+    // all scores NaN -> the sortBy((-s, c)) total order places them
+    // index-ascending; the kernel's fallback must match
+    assert(cells == Seq(0, 1, 2), s"got $cells")
+    val withNull = Seq((1L, Seq[java.lang.Float](1f, null, 2f, 3f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      withNull.select(
+        graft.functions.IvfCells(col("embedding"), cents, 1).as("c")).collect()
+    }
+    def rootChain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(rootChain(ex).exists(_.getMessage != null) &&
+      rootChain(ex).exists(t => t.getMessage != null && t.getMessage.contains("null element")),
+      s"expected loud null-element failure, got: $ex")
   }
 
   test("audioFeatures: decode matches generator truth; malformed clips dropped") {
