@@ -104,7 +104,7 @@ object Embeddings {
     * L2-normalized, assignment maximizes v̂·c, and centroids are
     * re-normalized after each mean update — so every trained centroid is
     * unit-length, and the runtime cell assigner (argmax v·c − ||c||²/2,
-    * [[ivfCellsUdf]]) reduces to argmax v·c: exactly cosine assignment.
+    * [[ivfCellAssigner]]) reduces to argmax v·c: exactly cosine assignment.
     * Plain L2 k-means on unnormalized data splits by MAGNITUDE and
     * measured only 0.59 recall@nprobe=4 on the synthetic table; spherical
     * recovers the angular structure.
@@ -192,7 +192,7 @@ object Embeddings {
     * expression ([[graft.functions.IvfCells]]) — the corpus-side cell
     * assignment is the O(n·cells·dim) map of every index build.
     */
-  def ivfCellsUdf(cents: Array[Array[Double]], nprobe: Int): Column => Column =
+  def ivfCellAssigner(cents: Array[Array[Double]], nprobe: Int): Column => Column =
     v => graft.functions.IvfCells(v, cents, nprobe)
 
   /** IVF top-k ANN: assign every vector to its nearest deterministic
@@ -210,8 +210,8 @@ object Embeddings {
     // oracle row); pass trainIvfCentroids(...) for the trained cells that
     // reach the same recall with fewer probes
     val cents = centroids.getOrElse(ivfCentroids(numCells, dim, seed))
-    val cellOf = ivfCellsUdf(cents, 1)
-    val probeOf = ivfCellsUdf(cents, nprobe)
+    val cellOf = ivfCellAssigner(cents, 1)
+    val probeOf = ivfCellAssigner(cents, nprobe)
     val cells = withNorm(
       vectors.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
         explode(cellOf(col("embedding"))).as("cell")), "nv", "nn")

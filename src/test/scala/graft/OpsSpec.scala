@@ -119,9 +119,9 @@ class OpsSpec extends AnyFunSuite {
     // scanned fraction: candidates examined per query / corpus size — the
     // cost side of the recall/cost trade (1.0 = no pruning = full scan)
     def scannedFrac(cents: Option[Array[Array[Double]]], nprobe: Int): Double = {
-      val cellOf = Embeddings.ivfCellsUdf(
+      val cellOf = Embeddings.ivfCellAssigner(
         cents.getOrElse(Embeddings.ivfCentroids(16, 64, 42L)), 1)
-      val probeOf = Embeddings.ivfCellsUdf(
+      val probeOf = Embeddings.ivfCellAssigner(
         cents.getOrElse(Embeddings.ivfCentroids(16, 64, 42L)), nprobe)
       val cells = vecs.select(explode(cellOf(col("embedding"))).as("cell"))
         .groupBy("cell").count()

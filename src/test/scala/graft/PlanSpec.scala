@@ -111,7 +111,7 @@ class PlanSpec extends AnyFunSuite {
     }
     // the two O(corpus) index-build maps — native AnnExprs since round 3
     assertNoUdf(graft.ops.Embeddings.lshBuckets(vecs, 64, 16, 8, 42L), "SRP bucketing")
-    val cellOf = graft.ops.Embeddings.ivfCellsUdf(
+    val cellOf = graft.ops.Embeddings.ivfCellAssigner(
       graft.ops.Embeddings.ivfCentroids(16, 64, 42L), 1)
     assertNoUdf(vecs.select(col("vec_id"), explode(cellOf(col("embedding"))).as("cell")),
       "IVF cell assignment")
