@@ -49,7 +49,7 @@ object Bench {
     "java.base/sun.security.action", "java.base/sun.util.calendar",
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  private def dirBytes(path: String): Long = {
+  private[graft] def dirBytes(path: String): Long = {
     val fs = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
     fs.map(f => if (f.isDirectory) dirBytes(f.getPath) else f.length()).sum
   }

@@ -713,7 +713,11 @@ WHERE bit_count(xor(a.phash_dct, b.phash_dct)) <= $mmHammingT"""
 
   // ------------------------------------------------------------ registry
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // lazy: Queries.all references this map while this object's init
+  // references Queries.* constants — eager vals on both sides make the
+  // catalog null when ExtQueries happens to initialize first (any direct
+  // library user touching ExtQueries before SparkEntry/Queries)
+  lazy val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> (annTopK _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
@@ -735,7 +739,7 @@ WHERE bit_count(xor(a.phash_dct, b.phash_dct)) <= $mmHammingT"""
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_audio_features" -> (mmAudioFeatures _))
 
-  val oracles: Map[String, String] = Map(
+  lazy val oracles: Map[String, String] = Map(
     "ann_topk" -> annTopKSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,

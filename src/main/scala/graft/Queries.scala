@@ -324,7 +324,8 @@ ${OracleGen.ccSql}"""
 
   // ------------------------------------------------------------ registry
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = ExtQueries.all ++ Map(
+  // lazy: breaks the Queries <-> ExtQueries init cycle (see ExtQueries.all)
+  lazy val all: Map[String, (SparkSession, String) => DataFrame] = ExtQueries.all ++ Map(
     "dd_exact" -> (ddExact _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
@@ -335,7 +336,7 @@ ${OracleGen.ccSql}"""
     "ta_tokens" -> (taTokens _),
     "q1_agg" -> (q1Agg _))
 
-  val oracles: Map[String, String] = ExtQueries.oracles ++ Map(
+  lazy val oracles: Map[String, String] = ExtQueries.oracles ++ Map(
     "dd_exact" -> ddExactSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,
