@@ -352,6 +352,25 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names not in the catalog: ${unknown.toSeq.sorted.mkString(",")}")
     }
+    // Untimed session warmup. First-action costs — JIT of Spark's scan +
+    // codegen + shuffle stack, parquet footer reads, Janino warm-up —
+    // previously landed entirely on the alphabetically-first catalog query
+    // (measured: ann_ivf 2.9-6.5 s cold vs 0.6-0.7 s warm at the same SF),
+    // so the per-query table ranked queries by name order, not cost. Warm
+    // with base-table counts plus the one catalog query that shares no
+    // memoized stage with anything (q1_agg, a plain lineitem aggregate):
+    // every timed query still pays its own plan compile, codegen and stage
+    // compute — only the one-time session costs move out of the numbers.
+    locally {
+      import scala.util.control.NonFatal
+      Seq("lineitem", "documents", "embeddings", "customer").foreach { t =>
+        try spark.read.parquet(s"$sfDir/$t.parquet").count()
+        catch { case NonFatal(_) => () }
+      }
+      try SparkEntry.queries("q1_agg")(spark, sfDir).count()
+      catch { case NonFatal(_) => () }
+    }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
