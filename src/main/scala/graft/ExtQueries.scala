@@ -7,7 +7,7 @@ import graft.block.Blocking
 import graft.classify.Classifier
 import graft.fuse.Fusion
 import graft.model.Classification
-import graft.ops.{Embeddings, Multimodal, TextAnalysis}
+import graft.ops.{Embeddings, Events, Multimodal, TextAnalysis}
 import graft.sig.Signatures
 
 /** Extension operator catalog: similarity search, text analysis,
@@ -115,6 +115,25 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, n
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM r WHERE rank <= $annK"""
   }
 
+  /** SemDeDup-shaped semantic dedup: exact-cosine near-dup pairs within
+    * shared quantizer cells (nprobe=2 recovers boundary pairs). Same
+    * threshold as emb_pairs, so the diff between the two catalogs IS the
+    * recall the clustering trades for boundedness.
+    */
+  def ddSemantic(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.semanticPairs(embBase(spark, dir), embThreshold)
+
+  private val ddSemanticSql = {
+    val cos = "list_dot_product(a.v, b.v) / " +
+      "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+    s"""WITH ${OracleGen.ivfCtes(numCells = 16, dim = 64, seed = 42L)},
+asg AS (SELECT vec_id, v, c AS cell FROM rc WHERE crank <= 2),
+p AS (
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2, $cos AS cosine
+  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+SELECT id1, id2, cosine FROM p WHERE cosine >= $embThreshold"""
+  }
+
   // ------------------------------------------------------- text analysis
 
   def taLangid(spark: SparkSession, dir: String): DataFrame =
@@ -141,6 +160,40 @@ r AS (
 SELECT doc_id, n_tokens, ${rs.mkString(", ")},
   CASE WHEN $best >= 0.03 THEN (CASE $caseArms END) ELSE 'und' END AS lang_pred
 FROM r"""
+  }
+
+  def taRepetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetition(table(spark, dir, "documents"), "text")
+
+  private val taRepetitionSql = {
+    // non-distinct mirror of the Spark-side token/2-gram multiplicity counts
+    val top = (arr: String, n: String) =>
+      s"coalesce(list_max(list_transform(list_distinct($arr), " +
+        s"g -> len(list_filter($arr, x -> x = g))))::DOUBLE / greatest($n, 1), 0.0)"
+    s"""WITH n0 AS (
+  SELECT doc_id, ${Signatures.normalizeSql("text")} AS norm FROM documents),
+t AS (
+  SELECT doc_id,
+    CASE WHEN length(norm) = 0 THEN [] ELSE string_split(norm, ' ') END AS toks
+  FROM n0),
+g AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens,
+    CASE WHEN len(toks) >= 2
+      THEN list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i + 1])
+      ELSE [] END AS grams
+  FROM t),
+m AS (
+  SELECT doc_id, n_tokens, len(grams) AS n_2grams,
+    (n_tokens - len(list_distinct(toks)))::DOUBLE / greatest(n_tokens, 1) AS dup_tok_frac,
+    ${top("toks", "n_tokens")} AS top_tok_frac,
+    (len(grams) - len(list_distinct(grams)))::DOUBLE / greatest(len(grams), 1) AS dup_2gram_frac,
+    ${top("grams", "len(grams)")} AS top_2gram_frac
+  FROM g)
+SELECT doc_id, n_tokens, n_2grams, dup_tok_frac, top_tok_frac,
+  dup_2gram_frac, top_2gram_frac,
+  (top_tok_frac <= 0.2 AND top_2gram_frac <= 0.1) AS repetition_ok
+FROM m"""
   }
 
   def taQuality(spark: SparkSession, dir: String): DataFrame =
@@ -489,6 +542,27 @@ SELECT DISTINCT least(id, p) AS id1, greatest(id, p) AS id2 FROM u WHERE p IS NO
         max(col("value")).as("max_value"),
         sum(col("value")).cast("float").as("sum_value"))
 
+  def evSessionize(spark: SparkSession, dir: String): DataFrame =
+    Events.sessionize(table(spark, dir, "events"))
+
+  private val evSessionizeSql =
+    """WITH o AS (
+  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events),
+f AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM o),
+s AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM f)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
+  min(ts) AS session_start,
+  max(us) - min(us) AS duration_us,
+  sum(value)::FLOAT AS sum_value
+FROM s GROUP BY 1, 2"""
+
   private val evHourlySql =
     """SELECT user_id, date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n, min(value) AS min_value, max(value) AS max_value,
@@ -722,8 +796,10 @@ WHERE bit_count(xor(a.phash_dct, b.phash_dct)) <= $mmHammingT"""
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "emb_pairs" -> (embPairs _),
+    "dd_semantic" -> (ddSemantic _),
     "ta_langid" -> (taLangid _),
     "ta_quality" -> (taQuality _),
+    "ta_repetition" -> (taRepetition _),
     "ta_fingerprint" -> (taFingerprint _),
     "sim_collection" -> (simCollection _),
     "classify_rules" -> (classifyRules _),
@@ -732,6 +808,7 @@ WHERE bit_count(xor(a.phash_dct, b.phash_dct)) <= $mmHammingT"""
     "sim_temporal" -> (simTemporal _),
     "snm_multipass" -> (snmMultipass _),
     "ev_hourly" -> (evHourly _),
+    "ev_sessionize" -> (evSessionize _),
     "refine_clusters" -> (refineClusters _),
     "dedup_lastwins" -> (dedupLastwins _),
     "mm_stats" -> (mmStats _),
@@ -744,8 +821,10 @@ WHERE bit_count(xor(a.phash_dct, b.phash_dct)) <= $mmHammingT"""
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
     "emb_pairs" -> embPairsSql,
+    "dd_semantic" -> ddSemanticSql,
     "ta_langid" -> taLangidSql,
     "ta_quality" -> taQualitySql,
+    "ta_repetition" -> taRepetitionSql,
     "ta_fingerprint" -> taFingerprintSql,
     "sim_collection" -> simCollectionSql,
     "classify_rules" -> classifyRulesSql,
@@ -754,6 +833,7 @@ WHERE bit_count(xor(a.phash_dct, b.phash_dct)) <= $mmHammingT"""
     "sim_temporal" -> simTemporalSql,
     "snm_multipass" -> snmMultipassSql,
     "ev_hourly" -> evHourlySql,
+    "ev_sessionize" -> evSessionizeSql,
     "mm_stats" -> mmStatsSql,
     "mm_phash_pairs" -> mmPhashPairsSql,
     "mm_frame_sample" -> mmFrameSampleSql,

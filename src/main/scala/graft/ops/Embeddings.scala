@@ -252,6 +252,36 @@ object Embeddings {
       .select(col("id1"), col("id2"), col("cosine"))
   }
 
+  /** SemDeDup-shaped semantic near-dup pairs (Abbas et al. 2023): quantize
+    * every embedding to its `nprobe` nearest cells, emit exact-cosine pairs
+    * ABOVE `threshold` within any shared cell. The cluster assignment bounds
+    * the quadratic to within-cell pairing — at scale `numCells` grows with n
+    * (SemDeDup uses ~10^5 clusters at web scale) so cells stay
+    * executor-sized; cells are ordinary shuffle keys (AQE splits skewed
+    * ones), and nprobe=2 recovers the cell-boundary pairs single-assignment
+    * clustering structurally misses. Distinct collapses pairs sharing both
+    * probed cells.
+    */
+  def semanticPairs(vectors: DataFrame, threshold: Double, numCells: Int = 16,
+                    nprobe: Int = 2, dim: Int = 64, seed: Long = 42L,
+                    centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(ivfCentroids(numCells, dim, seed))
+    val assign = ivfCellAssigner(cents, nprobe)
+    val asg = withNorm(
+      vectors.select(col("vec_id"), col("embedding")), "embedding", "n")
+      .select(col("vec_id"), col("embedding"), col("n"),
+        explode(assign(col("embedding"))).as("cell"))
+    val a = asg.select(col("cell"), col("vec_id").as("id1"),
+      col("embedding").as("v1"), col("n").as("n1"))
+    val b = asg.select(col("cell"), col("vec_id").as("id2"),
+      col("embedding").as("v2"), col("n").as("n2"))
+    a.join(b, Seq("cell")).where(col("id1") < col("id2"))
+      .withColumn("cosine", dotCol(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .where(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), col("cosine"))
+      .distinct()
+  }
+
   /** MULTI-PROBE SRP-LSH top-k (Lv et al., VLDB'07, adapted to sign
     * projections): the index stores each vector once per band under its
     * base key, and each QUERY additionally probes the buckets reached by

@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators for training-data pipelines. */
+object Events {
+
+  /** Gap-based sessionization: a new session starts when the gap to the
+    * user's previous event exceeds `gapSec`. All windows are PARTITIONED by
+    * user — per-user event counts are bounded, so no single-partition
+    * WindowExec appears at any scale, and the single shuffle is the
+    * hash-partition on user_id that the session aggregate reuses (Catalyst
+    * collapses the window and groupBy exchanges).
+    *
+    * Gap arithmetic is integer microseconds (`unix_micros`) so the DuckDB
+    * oracle (`epoch_us`) is bit-exact; duration is reported in
+    * microseconds for the same reason.
+    */
+  def sessionize(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ts is TIMESTAMP_NTZ; sessions run UTC (Verify/Bench), so the cast is
+    // the identity instant and unix_micros matches DuckDB's epoch_us exactly
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val prevUs = lag(us, 1).over(byUser)
+    events
+      .withColumn("_is_new",
+        when(prevUs.isNull || us - prevUs > gapSec * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("_is_new")).over(running))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        (max(us) - min(us)).as("duration_us"),
+        sum(col("value")).cast("float").as("sum_value"))
+  }
+}

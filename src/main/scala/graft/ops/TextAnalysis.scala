@@ -68,6 +68,48 @@ object TextAnalysis {
         col("n_tokens") >= 5 && col("punct_ratio") < 0.3 && col("distinct_ratio") > 0.2)
   }
 
+  /** Repetition signals (the Gopher-rules shape: Rae et al. 2021, §A1.1 —
+    * fraction of duplicated tokens/n-grams and the coverage of the single
+    * most frequent one). Works on token MULTIPLICITIES, so this builds
+    * non-distinct n-gram lists (unlike [[Signatures.wordNgramsCol]]).
+    * Pure per-row expressions — O(d·n) in document length via the
+    * distinct×filter count, no shuffle, fully SQL-mirrorable.
+    */
+  def repetition(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = tokensColNonEmpty(col(textCol))
+    def topFrac(arr: Column, n: Column): Column =
+      coalesce(
+        array_max(transform(array_distinct(arr), g => size(filter(arr, x => x === g))))
+          .cast("double") / greatest(n, lit(1)),
+        lit(0.0))
+    val grams = when(size(col("_toks")) >= 2,
+      transform(sequence(lit(1), size(col("_toks")) - 1),
+        i => concat_ws(" ", slice(col("_toks"), i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"), toks.as("_toks"))
+      .withColumn("n_tokens", size(col("_toks")))
+      .withColumn("_grams", grams)
+      .withColumn("n_2grams", size(col("_grams")))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_2grams"),
+        ((col("n_tokens") - size(array_distinct(col("_toks")))).cast("double") /
+          greatest(col("n_tokens"), lit(1))).as("dup_tok_frac"),
+        topFrac(col("_toks"), col("n_tokens")).as("top_tok_frac"),
+        ((col("n_2grams") - size(array_distinct(col("_grams")))).cast("double") /
+          greatest(col("n_2grams"), lit(1))).as("dup_2gram_frac"),
+        topFrac(col("_grams"), col("n_2grams")).as("top_2gram_frac"))
+      .withColumn("repetition_ok",
+        col("top_tok_frac") <= 0.2 && col("top_2gram_frac") <= 0.1)
+  }
+
+  /** Tokens of the normalized string; empty text yields an empty array
+    * (split would yield [""]).
+    */
+  private def tokensColNonEmpty(c: Column): Column = {
+    val n = Signatures.normalizeCol(c)
+    when(length(n) === 0, array().cast("array<string>")).otherwise(split(n, " "))
+  }
+
   /** Document fingerprints: full-content hash60 of the normalized text plus
     * a winnowing-style min-shingle fingerprint (min over k-gram hash60s) —
     * containment-robust near-exact dedup keys.

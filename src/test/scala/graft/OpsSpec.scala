@@ -80,6 +80,23 @@ class OpsSpec extends AnyFunSuite {
     assert(approx.subsetOf(exact), "verified pairs must be exact-threshold pairs")
   }
 
+  test("semantic pairs: subset of exact pairs; nprobe=2 recovers boundary recall") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val exact = Embeddings.thresholdPairs(vecs, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(nprobe: Int): (Double, Set[(Long, Long)]) = {
+      val got = Embeddings.semanticPairs(vecs, 0.4, nprobe = nprobe)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      ((got & exact).size.toDouble / exact.size, got)
+    }
+    val (r1, _) = recallAt(1)
+    val (r2, got2) = recallAt(2)
+    info(f"exact=${exact.size} recall nprobe1=$r1%.3f nprobe2=$r2%.3f")
+    assert(got2.subsetOf(exact), "within-cell verify is exact cosine")
+    assert(r2 >= r1, "second probe must not lose pairs")
+    assert(r2 >= 0.8, s"semantic-pair recall $r2 below 0.8")
+  }
+
   test("multi-probe SRP-LSH: flipping least-confident bits buys recall without more bands") {
     val vecs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     // query set = members of genuinely-near pairs (planted near-duplicates;
@@ -369,5 +386,55 @@ class OpsSpec extends AnyFunSuite {
     // and hd(h1,h2)=14, hd(h1,h3)=13, hd(h2,h3)=1: (c,d) differ only in
     // block 7, so they DO share blocks 0..6 -> captured, verify keeps it
     assert(cands.contains(("c", "d")), "hd=1 pair must be captured")
+  }
+
+  test("sessionize: gap strictly-greater semantics, per-user isolation, durations") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // user 1: gaps 1800s (stays), 1801s (splits); user 2: single event
+    val ev = Seq(
+      (0L, ts(0L), 1L, 1.0),
+      (1L, ts(1800L), 1L, 2.0),     // gap == 1800 -> same session
+      (2L, ts(3601L), 1L, 4.0),     // gap 1801 -> new session
+      (3L, ts(0L), 2L, 8.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val s = graft.ops.Events.sessionize(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getAs[Long]("duration_us"), r.getAs[Float]("sum_value"))).toMap
+    assert(s.size == 3)
+    assert(s((1L, 1L)) == ((2L, 1800000000L, 3.0f)))
+    assert(s((1L, 2L)) == ((1L, 0L, 4.0f)))
+    assert(s((2L, 1L)) == ((1L, 0L, 8.0f)))
+  }
+
+  test("repetition signals: hand-computed fractions + empty/one-token edges") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (0L, "a a a b"), // toks 4 (3 dup of 'a'), grams [a a, a a, a b]
+      (1L, ""),        // empty: all zeros, nothing null
+      (2L, "solo"),    // one token: no 2-grams
+      (3L, "x y x y")  // grams [x y, y x, x y]
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetition(docs, "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r0 = m(0L)
+    assert(r0.getAs[Int]("n_tokens") == 4 && r0.getAs[Int]("n_2grams") == 3)
+    assert(r0.getAs[Double]("dup_tok_frac") == 0.5)      // (4-2)/4
+    assert(r0.getAs[Double]("top_tok_frac") == 0.75)     // 3x 'a' / 4
+    assert(r0.getAs[Double]("dup_2gram_frac") == 1.0 / 3)
+    assert(r0.getAs[Double]("top_2gram_frac") == 2.0 / 3)
+    val r1 = m(1L)
+    assert(r1.getAs[Int]("n_tokens") == 0 && r1.getAs[Int]("n_2grams") == 0)
+    assert(r1.getAs[Double]("top_tok_frac") == 0.0 &&
+      r1.getAs[Double]("dup_2gram_frac") == 0.0)
+    val r2 = m(2L)
+    assert(r2.getAs[Int]("n_tokens") == 1 && r2.getAs[Int]("n_2grams") == 0)
+    assert(r2.getAs[Double]("top_tok_frac") == 1.0)
+    val r3 = m(3L)
+    assert(r3.getAs[Double]("dup_tok_frac") == 0.5)
+    assert(r3.getAs[Double]("top_2gram_frac") == 2.0 / 3)
+    assert(!r0.getAs[Boolean]("repetition_ok") && !r3.getAs[Boolean]("repetition_ok"))
   }
 }
