@@ -142,6 +142,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "scalable SNM must not plan a Window operator")
   }
 
+  test("sessionize windows are user-partitioned (no global Window)") {
+    import spark.implicits._
+    val ev = (0L until 50L)
+      .map(i => (i, new java.sql.Timestamp(i * 1000), i % 5, i.toDouble))
+      .toDF("event_id", "ts", "user_id", "value")
+    val plan = formatted(graft.ops.Events.sessionize(ev))
+    // every Window in the plan must carry a partition spec — the WindowExec
+    // warning path ("No Partition Defined") is a driver-sized sort at scale
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty, "sessionize should plan windows")
+    assert(!plan.contains("No Partition Defined"))
+    val specLine = plan.linesIterator
+      .find(l => l.contains("windowspecdefinition")).getOrElse("")
+    assert(specLine.contains("user_id"),
+      s"window must partition by user_id: $specLine")
+  }
+
+  test("dd_semantic corpus stages are UDF-free and pair within cells only") {
+    import spark.implicits._
+    val vecs = (0L until 64L)
+      .map(i => (i, Array.tabulate(64)(d => ((i * 31 + d) % 13).toFloat / 13f).toSeq))
+      .toDF("vec_id", "embedding")
+    val df = graft.ops.Embeddings.semanticPairs(vecs, 0.4)
+    val udfs = df.queryExecution.optimizedPlan.collect {
+      case p => p.expressions.flatMap(_.collect {
+        case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+      })
+    }.flatten
+    assert(udfs.isEmpty, s"semantic pairs must not contain Scala UDFs: $udfs")
+    // the join is keyed on cell (bounded buckets), not a cross product
+    val plan = formatted(df)
+    assert(!plan.contains("CartesianProduct"),
+      "within-cell pairing must be a keyed join, not a cross product")
+  }
+
   test("bucket stats count dropped skew buckets and forfeited pairs") {
     import spark.implicits._
     val keyed = (Seq.fill(100)("hot") ++ Seq("a", "a", "b")).zipWithIndex
