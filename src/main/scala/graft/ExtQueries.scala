@@ -7,7 +7,7 @@ import graft.block.Blocking
 import graft.classify.Classifier
 import graft.fuse.Fusion
 import graft.model.Classification
-import graft.ops.{Embeddings, Events, Multimodal, TextAnalysis}
+import graft.ops.{Embeddings, Events, Multimodal, Sampling, TextAnalysis}
 import graft.sig.Signatures
 
 /** Extension operator catalog: similarity search, text analysis,
@@ -785,6 +785,72 @@ FROM read_parquet('$mmMetaPath/*.parquet') a
 JOIN read_parquet('$mmMetaPath/*.parquet') b ON a.image_id < b.image_id
 WHERE bit_count(xor(a.phash_dct, b.phash_dct)) <= $mmHammingT"""
 
+  // ----------------------------------------------- sampling / json / vocab
+
+  /** Stratified keep-rates (buckets of 100) for the deterministic sampler:
+    * the two named strata exercise the map path, everything else the
+    * default fallback.
+    */
+  val sampleRates: Seq[(String, Int)] = Seq("en" -> 50, "zh" -> 35)
+  val sampleDefaultRate = 20
+
+  /** Deterministic hash-stratified corpus sampling — a pure map-side
+    * filter (PlanSpec gates zero exchanges), reproducible across reruns.
+    */
+  def dsSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratified(
+      table(spark, dir, "documents").select(col("doc_id"), col("lang")),
+      col("doc_id"), col("lang"), sampleRates.toMap, sampleDefaultRate)
+
+  private val dsSampleSql = {
+    val rate = sampleRates
+      .map { case (s, r) => s"WHEN lang = '$s' THEN $r" }
+      .mkString("CASE ", " ", s" ELSE $sampleDefaultRate END")
+    s"""WITH b AS (
+  SELECT doc_id, lang,
+    ${Signatures.hash60Sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+  FROM documents)
+SELECT doc_id, lang, bucket FROM b WHERE bucket < ($rate)"""
+  }
+
+  /** Semi-structured JSON extraction + rollup over the event stream
+    * (codegen'd `get_json_object`, order-independent aggregates only).
+    */
+  def evProps(spark: SparkSession, dir: String): DataFrame =
+    Events.propsRollup(table(spark, dir, "events"), "k")
+
+  private val evPropsSql =
+    """WITH e AS (
+  SELECT event_type, user_id, value,
+    json_extract_string(props, '$.k')::BIGINT AS k
+  FROM events)
+SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+  sum(k)::BIGINT AS sum_k, min(k) AS min_k, max(k) AS max_k,
+  min(value) AS min_value, max(value) AS max_value
+FROM e GROUP BY event_type"""
+
+  /** Corpus top-k vocabulary per language via the lossless two-phase
+    * top-k (no per-language single-task window at scale); the oracle is
+    * the plain global top-k the two-phase shape must equal.
+    */
+  val vocabK = 10
+
+  def taVocab(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topTokens(table(spark, dir, "documents"), "text", k = vocabK)
+
+  private val taVocabSql =
+    s"""WITH n0 AS (
+  SELECT lang, ${Signatures.normalizeSql("text")} AS norm FROM documents),
+t AS (
+  SELECT lang, unnest(string_split(norm, ' ')) AS token
+  FROM n0 WHERE length(norm) > 0),
+c AS (SELECT lang, token, count(*) AS n FROM t GROUP BY 1, 2),
+r AS (
+  SELECT lang, token, n,
+    row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rnk
+  FROM c)
+SELECT lang, token, n, rnk FROM r WHERE rnk <= $vocabK"""
+
   // ------------------------------------------------------------ registry
 
   // lazy: Queries.all references this map while this object's init
@@ -800,7 +866,10 @@ WHERE bit_count(xor(a.phash_dct, b.phash_dct)) <= $mmHammingT"""
     "ta_langid" -> (taLangid _),
     "ta_quality" -> (taQuality _),
     "ta_repetition" -> (taRepetition _),
+    "ta_vocab" -> (taVocab _),
     "ta_fingerprint" -> (taFingerprint _),
+    "ds_sample" -> (dsSample _),
+    "ev_props" -> (evProps _),
     "sim_collection" -> (simCollection _),
     "classify_rules" -> (classifyRules _),
     "fuse_canonical" -> (fuseCanonical _),
@@ -825,7 +894,10 @@ WHERE bit_count(xor(a.phash_dct, b.phash_dct)) <= $mmHammingT"""
     "ta_langid" -> taLangidSql,
     "ta_quality" -> taQualitySql,
     "ta_repetition" -> taRepetitionSql,
+    "ta_vocab" -> taVocabSql,
     "ta_fingerprint" -> taFingerprintSql,
+    "ds_sample" -> dsSampleSql,
+    "ev_props" -> evPropsSql,
     "sim_collection" -> simCollectionSql,
     "classify_rules" -> classifyRulesSql,
     "fuse_canonical" -> fuseCanonicalSql,

@@ -36,4 +36,32 @@ object Events {
         (max(us) - min(us)).as("duration_us"),
         sum(col("value")).cast("float").as("sum_value"))
   }
+
+  /** Extract an integer field from the semi-structured `props` JSON column.
+    * `get_json_object` is a codegen'd path expression — no UDF, no
+    * per-row parser object; at scale the extraction rides the scan
+    * projection, so only the needed field ever leaves the parquet reader's
+    * string column.
+    */
+  def propsLong(events: DataFrame, field: String): DataFrame =
+    events.withColumn(field,
+      get_json_object(col("props"), s"$$.$field").cast("long"))
+
+  /** Per-event-type rollup over the extracted JSON field: classic
+    * partial-aggregate shape (map-side combine on the handful of event
+    * types, one tiny shuffle). All aggregates are order-independent
+    * (counts, integer sums, min/max), so the result is deterministic under
+    * any partitioning — and hash-exact against the DuckDB oracle.
+    */
+  def propsRollup(events: DataFrame, field: String): DataFrame =
+    propsLong(events, field)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col(field)).as(s"sum_$field"),
+        min(col(field)).as(s"min_$field"),
+        max(col(field)).as(s"max_$field"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
 }

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.sig.Signatures
+
+/** Deterministic, reproducible sampling for training-data curation.
+  *
+  * Down-sampling a 100 TB corpus must be (a) a pure map-side filter — no
+  * shuffle, no driver state, repeatable across reruns and resumable jobs —
+  * and (b) stratified, because corpus curation wants different keep-rates
+  * per stratum (language, source, quality band). Both fall out of hashing a
+  * stable row key into a fixed bucket space: `bucket = hash60(key) % n`,
+  * keep the row iff `bucket < rate(stratum)`. The same hash60 base used by
+  * the signature kernels keeps the DuckDB oracle bit-exact.
+  *
+  * The keep decision is row-local, so the operator composes with scan-level
+  * pruning: Catalyst pushes the surviving conjuncts down and the filter
+  * rides the parquet scan — zero exchanges at any scale.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, nBuckets) for a row key. hash60 is uniform over
+    * 2^60, so buckets are uniform and `bucket < r` keeps ~r/nBuckets rows.
+    */
+  def bucketCol(key: Column, nBuckets: Int = 100): Column =
+    pmod(Signatures.hash60Col(key), lit(nBuckets))
+
+  /** Deterministic stratified sample: keep a row iff its hash bucket falls
+    * under the keep-rate of its stratum (per-mille-style integer rates out
+    * of `nBuckets`). Unknown strata fall back to `defaultRate`.
+    */
+  def stratified(
+      df: DataFrame,
+      key: Column,
+      stratum: Column,
+      rates: Map[String, Int],
+      defaultRate: Int,
+      nBuckets: Int = 100): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(stratum === lit(s), lit(r)).otherwise(acc)
+    }
+    df.withColumn("bucket", bucketCol(key, nBuckets))
+      .filter(col("bucket") < rate)
+  }
+}

@@ -110,6 +110,42 @@ object TextAnalysis {
     when(length(n) === 0, array().cast("array<string>")).otherwise(split(n, " "))
   }
 
+  /** Corpus-level top-k vocabulary per stratum (language): wordcount with
+    * map-side combine, then a LOSSLESS two-phase top-k. A single
+    * `row_number() OVER (PARTITION BY lang)` would funnel each language's
+    * entire vocabulary — millions of rows at corpus scale — through one
+    * task. Instead: (1) rank within (stratum, physical partition) and keep
+    * k — every global top-k row survives, because ranks are computed on
+    * FINAL counts (the aggregate upstream already merged duplicates), so a
+    * row beaten by k rows inside its own partition is beaten by k rows
+    * globally; (2) re-rank the ≤ k·numPartitions survivors in the small
+    * final window. Ties break on the token string, so the result is
+    * deterministic and hash-exact against the oracle's plain top-k.
+    */
+  def topTokens(
+      docs: DataFrame,
+      textCol: String,
+      stratum: String = "lang",
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col(stratum), explode(tokensColNonEmpty(col(textCol))).as("token"))
+      .groupBy(col(stratum), col("token"))
+      .agg(count(lit(1)).as("n"))
+    val order: Seq[Column] = Seq(col("n").desc, col("token"))
+    val perPart = Window
+      .partitionBy(col(stratum), col("_pid"))
+      .orderBy(order: _*)
+    val global = Window.partitionBy(col(stratum)).orderBy(order: _*)
+    counts
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_r", row_number().over(perPart))
+      .filter(col("_r") <= k)
+      .drop("_pid", "_r")
+      .withColumn("rnk", row_number().over(global))
+      .filter(col("rnk") <= k)
+  }
+
   /** Document fingerprints: full-content hash60 of the normalized text plus
     * a winnowing-style min-shingle fingerprint (min over k-gram hash60s) —
     * containment-robust near-exact dedup keys.

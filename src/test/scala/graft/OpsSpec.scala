@@ -437,4 +437,63 @@ class OpsSpec extends AnyFunSuite {
     assert(r3.getAs[Double]("top_2gram_frac") == 2.0 / 3)
     assert(!r0.getAs[Boolean]("repetition_ok") && !r3.getAs[Boolean]("repetition_ok"))
   }
+
+  test("two-phase topTokens equals the naive single-window top-k (lossless prune)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // skewed vocabulary across many partitions: token t_i appears i times
+    // per lang, with tie groups at the k boundary to exercise tie-breaks
+    val rows = for {
+      lang <- Seq("aa", "bb")
+      i <- 1 to 40
+      _ <- 1 to (i / 4 + 1) // duplicate counts => ties on n
+    } yield (lang, s"t$i " * 2) // two tokens per doc
+    val docs = rows.toDF("lang", "text").repartition(7)
+    val got = graft.ops.TextAnalysis.topTokens(docs, "text", k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    val naive = docs
+      .select(col("lang"), explode(split(graft.sig.Signatures.normalizeCol(col("text")), " ")).as("token"))
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("n").desc, col("token"))))
+      .filter(col("rnk") <= 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got == naive, s"two-phase top-k diverged: ${got.diff(naive)} vs ${naive.diff(got)}")
+  }
+
+  test("stratified sampling keeps exactly the rows whose bucket clears their stratum rate") {
+    import spark.implicits._
+    val df = (0L until 500L).map(i => (i, if (i % 3 == 0) "en" else "xx"))
+      .toDF("id", "lang")
+    val rates = Map("en" -> 50)
+    val kept = graft.ops.Sampling.stratified(df, col("id"), col("lang"), rates, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    (0L until 500L).foreach { i =>
+      val bucket = java.lang.Math.floorMod(graft.sig.Signatures.hash60(i.toString), 100L)
+      val rate = if (i % 3 == 0) 50 else 20
+      if (bucket < rate) assert(kept.get(i).contains(bucket), s"row $i (bucket $bucket) missing")
+      else assert(!kept.contains(i), s"row $i (bucket $bucket >= $rate) wrongly kept")
+    }
+    // reproducible: a rerun keeps the identical id set
+    val again = graft.ops.Sampling.stratified(df, col("id"), col("lang"), rates, 20)
+      .select("id").as[Long].collect().toSet
+    assert(again == kept.keySet)
+  }
+
+  test("propsRollup extracts the JSON field and aggregates order-independently") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "click", 10L, """{"k": 7}""", 1.5),
+      (2L, "click", 11L, """{"k": -2}""", 0.25),
+      (3L, "view", 10L, """{"k": 40}""", 9.0))
+      .toDF("event_id", "event_type", "user_id", "props", "value")
+    val m = graft.ops.Events.propsRollup(ev, "k")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val c = m("click")
+    assert(c.getLong(1) == 2 && c.getLong(2) == 2)      // n_events, n_users
+    assert(c.getLong(3) == 5 && c.getLong(4) == -2 && c.getLong(5) == 7)
+    assert(c.getDouble(6) == 0.25 && c.getDouble(7) == 1.5)
+    val v = m("view")
+    assert(v.getLong(1) == 1 && v.getLong(3) == 40)
+  }
 }

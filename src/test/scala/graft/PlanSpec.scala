@@ -177,6 +177,36 @@ class PlanSpec extends AnyFunSuite {
       "within-cell pairing must be a keyed join, not a cross product")
   }
 
+  test("ds_sample is a shuffle-free map-side filter") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-docs").toString
+    (0L until 100L).map(i => (i, if (i % 2 == 0) "en" else "xx"))
+      .toDF("doc_id", "lang").write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
+    val sampled = graft.ops.Sampling.stratified(
+      docs, col("doc_id"), col("lang"), Map("en" -> 50), 20)
+    val plan = formatted(sampled)
+    assert(!plan.contains("Exchange"),
+      s"deterministic sampling must not shuffle:\n$plan")
+    assert(plan.contains("Filter"), "keep decision must be a plain filter")
+  }
+
+  test("ta_vocab top-k is two-phase: partition-local prune before the per-lang window") {
+    import spark.implicits._
+    val docs = Seq(("en", "a b c"), ("fr", "a a b")).toDF("lang", "text")
+    val plan = formatted(graft.ops.TextAnalysis.topTokens(docs, "text", k = 5))
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    // two distinct window stages: the pruning one additionally keyed by the
+    // physical partition id, so no per-language single-task sort exists
+    assert(plan.contains("SPARK_PARTITION_ID") || plan.contains("spark_partition_id"),
+      s"pruning window must be keyed by the physical partition id:\n$plan")
+    val windowExecs = plan.linesIterator.count(l => l.trim.startsWith("Window") ||
+      l.contains(" Window "))
+    assert(windowExecs >= 2 || windows.size >= 2,
+      s"expected the two-phase window pair:\n$plan")
+    assert(!plan.contains("No Partition Defined"))
+  }
+
   test("bucket stats count dropped skew buckets and forfeited pairs") {
     import spark.implicits._
     val keyed = (Seq.fill(100)("hot") ++ Seq("a", "a", "b")).zipWithIndex
