@@ -829,6 +829,25 @@ SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
   min(value) AS min_value, max(value) AS max_value
 FROM e GROUP BY event_type"""
 
+  /** Point-in-time as-of join re-expressed as a per-user running window
+    * (no range self-join, no hot-user skew amplification).
+    */
+  def evAsof(spark: SparkSession, dir: String): DataFrame =
+    Events.asofPrev(table(spark, dir, "events"))
+
+  private val evAsofSql =
+    """WITH w AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+    last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_view_value,
+    last_value(CASE WHEN event_type = 'view' THEN epoch_us(ts) END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_view_us
+  FROM events)
+SELECT event_id, user_id, prev_view_value, (us - prev_view_us) AS gap_us
+FROM w WHERE event_type = 'purchase'"""
+
   /** Corpus top-k vocabulary per language via the lossless two-phase
     * top-k (no per-language single-task window at scale); the oracle is
     * the plain global top-k the two-phase shape must equal.
@@ -870,6 +889,7 @@ SELECT lang, token, n, rnk FROM r WHERE rnk <= $vocabK"""
     "ta_fingerprint" -> (taFingerprint _),
     "ds_sample" -> (dsSample _),
     "ev_props" -> (evProps _),
+    "ev_asof" -> (evAsof _),
     "sim_collection" -> (simCollection _),
     "classify_rules" -> (classifyRules _),
     "fuse_canonical" -> (fuseCanonical _),
@@ -898,6 +918,7 @@ SELECT lang, token, n, rnk FROM r WHERE rnk <= $vocabK"""
     "ta_fingerprint" -> taFingerprintSql,
     "ds_sample" -> dsSampleSql,
     "ev_props" -> evPropsSql,
+    "ev_asof" -> evAsofSql,
     "sim_collection" -> simCollectionSql,
     "classify_rules" -> classifyRulesSql,
     "fuse_canonical" -> fuseCanonicalSql,

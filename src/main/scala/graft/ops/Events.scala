@@ -47,6 +47,33 @@ object Events {
     events.withColumn(field,
       get_json_object(col("props"), s"$$.$field").cast("long"))
 
+  /** Point-in-time (as-of) join within one event stream: for every event of
+    * `forType`, attach the value and microsecond gap of the user's most
+    * recent STRICTLY PRIOR `matchType` event. Expressed as a per-user
+    * running `last(_, ignoreNulls)` window rather than a range join — one
+    * hash-partition on user_id, bounded per-user partitions, no
+    * self-join, no skew amplification (the classic as-of-join-as-window
+    * re-expression; a range join would shuffle both sides and explode on
+    * hot users). Ordering ties break on event_id, so the result is
+    * deterministic and hash-exact against the oracle.
+    */
+  def asofPrev(
+      events: DataFrame,
+      forType: String = "purchase",
+      matchType: String = "view"): DataFrame = {
+    val prior = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val matchValue = when(col("event_type") === matchType, col("value"))
+    val matchUs = when(col("event_type") === matchType, us)
+    events
+      .withColumn("prev_view_value", last(matchValue, ignoreNulls = true).over(prior))
+      .withColumn("gap_us", us - last(matchUs, ignoreNulls = true).over(prior))
+      .filter(col("event_type") === forType)
+      .select(col("event_id"), col("user_id"), col("prev_view_value"), col("gap_us"))
+  }
+
   /** Per-event-type rollup over the extracted JSON field: classic
     * partial-aggregate shape (map-side combine on the handful of event
     * types, one tiny shuffle). All aggregates are order-independent

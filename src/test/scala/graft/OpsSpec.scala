@@ -480,6 +480,31 @@ class OpsSpec extends AnyFunSuite {
     assert(again == kept.keySet)
   }
 
+  test("asofPrev: strictly-prior match, per-user isolation, null when no prior view") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(sec: Long) = Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val ev = Seq(
+      // user 1: view@10(v=1.0), purchase@20, view@30(v=2.0), purchase@40
+      (1L, ts(10), 1L, "view", 1.0),
+      (2L, ts(20), 1L, "purchase", 9.9),
+      (3L, ts(30), 1L, "view", 2.0),
+      (4L, ts(40), 1L, "purchase", 9.9),
+      // user 2: purchase@15 with NO prior view; view@15 of user 1 must not leak
+      (5L, ts(15), 2L, "purchase", 9.9),
+      // same-instant tie: view and purchase share ts=50; event_id orders the
+      // view first, so it IS strictly prior to the purchase row
+      (6L, ts(50), 2L, "view", 3.0),
+      (7L, ts(50), 2L, "purchase", 9.9))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val m = graft.ops.Events.asofPrev(ev)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(2L).getDouble(2) == 1.0 && m(2L).getLong(3) == 10000000L)
+    assert(m(4L).getDouble(2) == 2.0 && m(4L).getLong(3) == 10000000L)
+    assert(m(5L).isNullAt(2) && m(5L).isNullAt(3))
+    assert(m(7L).getDouble(2) == 3.0 && m(7L).getLong(3) == 0L)
+  }
+
   test("propsRollup extracts the JSON field and aggregates order-independently") {
     import spark.implicits._
     val ev = Seq(
