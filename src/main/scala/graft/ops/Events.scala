@@ -67,11 +67,12 @@ object Events {
     val us = unix_micros(col("ts").cast("timestamp"))
     val matchValue = when(col("event_type") === matchType, col("value"))
     val matchUs = when(col("event_type") === matchType, us)
+    val prevValue = s"prev_${matchType}_value"
     events
-      .withColumn("prev_view_value", last(matchValue, ignoreNulls = true).over(prior))
+      .withColumn(prevValue, last(matchValue, ignoreNulls = true).over(prior))
       .withColumn("gap_us", us - last(matchUs, ignoreNulls = true).over(prior))
       .filter(col("event_type") === forType)
-      .select(col("event_id"), col("user_id"), col("prev_view_value"), col("gap_us"))
+      .select(col("event_id"), col("user_id"), col(prevValue), col("gap_us"))
   }
 
   /** Per-event-type rollup over the extracted JSON field: classic
