@@ -60,6 +60,39 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, n
       FROM s)
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM r WHERE rank <= $annK"""
 
+  /** PQ-ADC shortlist + exact re-rank: the product-quantization search
+    * shape (compose with IVF cells for full IVF-PQ). Catalog config uses
+    * the deterministic data-independent codebook so the oracle can embed
+    * it as literals (same policy as ann_ivf); the TRAINED per-subspace
+    * k-means codebook is OpsSpec-gated on recall, like the trained IVF.
+    */
+  val pqM = 8
+  val pqCodeCount = 16
+  val pqSeed = 7L
+  val pqShortlist = 50
+
+  private lazy val pqCb = Embeddings.pqCodebooks(pqM, pqCodeCount, 64 / pqM, pqSeed)
+
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = embBase(spark, dir)
+    Embeddings.pqRerankTopK(vecs, vecs.where(col("vec_id") % annQueryMod === 0),
+      annK, pqCb, pqShortlist)
+  }
+
+  private lazy val annPqSql =
+    s"""WITH ${OracleGen.pqCtes(pqCb, annQueryMod, pqShortlist)},
+rr AS (
+  SELECT s.query_id, s.neighbor_id,
+    list_dot_product(qe.v, ne.v) /
+      (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ne.v, ne.v))) AS cosine
+  FROM short s
+  JOIN e qe ON qe.vec_id = s.query_id
+  JOIN e ne ON ne.vec_id = s.neighbor_id),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM rr)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM r WHERE rank <= $annK"""
+
   def embPairs(spark: SparkSession, dir: String): DataFrame =
     Embeddings.thresholdPairs(embBase(spark, dir), embThreshold)
 
@@ -880,6 +913,7 @@ SELECT lang, token, n, rnk FROM r WHERE rnk <= $vocabK"""
     "ann_topk" -> (annTopK _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
+    "ann_pq" -> (annPq _),
     "emb_pairs" -> (embPairs _),
     "dd_semantic" -> (ddSemantic _),
     "ta_langid" -> (taLangid _),
@@ -909,6 +943,7 @@ SELECT lang, token, n, rnk FROM r WHERE rnk <= $vocabK"""
     "ann_topk" -> annTopKSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
+    "ann_pq" -> annPqSql,
     "emb_pairs" -> embPairsSql,
     "dd_semantic" -> ddSemanticSql,
     "ta_langid" -> taLangidSql,

@@ -187,6 +187,53 @@ rc AS (
 cells AS (SELECT vec_id AS neighbor_id, v AS nv, c AS cell FROM rc WHERE crank = 1)"""
   }
 
+  /** PQ-ADC + exact-rerank CTEs mirroring Embeddings.pqRerankTopK: the
+    * codebook is emitted as a nested DOUBLE list literal (shortest
+    * round-trip form); normalization, per-subspace squared distances
+    * (`list_dot_product(diff, diff)`), the first-min code pick
+    * (`list_position(d, list_min(d))`), and the ADC sum (dot with a ones
+    * list = the same sequential fold as Spark's `aggregate`) are all
+    * fold-order-exact. Produces CTEs through `short(query_id,
+    * neighbor_id)` plus `e(vec_id, v)` for the exact re-rank.
+    */
+  def pqCtes(cb: Array[Array[Array[Double]]], queryMod: Int, shortlist: Int): String = {
+    val m = cb.length
+    val subDim = cb(0)(0).length
+    val cbLit = cb.map(_.map(_.map(java.lang.Double.toString)
+        .mkString("[", ", ", "]")).mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+    def diff(vec: String, cent: String) =
+      s"list_transform(generate_series(1, $subDim), i -> $vec[j*$subDim + i] - $cent[i])"
+    val d2corpus = s"list_dot_product(${diff("nv", "cent")}, ${diff("nv", "cent")})"
+    val qcent = s"($cbLit)[j+1][c.pq[j+1]+1]"
+    val d2query = s"list_dot_product(${diff("q.qnv", qcent)}, ${diff("q.qnv", qcent)})"
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nrm AS (
+  SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+  FROM e),
+dl AS (
+  SELECT vec_id,
+    list_transform(generate_series(0, ${m - 1}), j ->
+      list_transform(($cbLit)[j+1], cent -> $d2corpus)) AS ds
+  FROM nrm),
+codes AS (
+  SELECT vec_id, list_transform(ds, d -> list_position(d, list_min(d)) - 1) AS pq
+  FROM dl),
+q AS (SELECT vec_id AS query_id, nv AS qnv FROM nrm WHERE vec_id % $queryMod = 0),
+adc AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    list_dot_product(
+      list_transform(generate_series(0, ${m - 1}), j -> $d2query),
+      list_transform(generate_series(0, ${m - 1}), j -> 1.0)) AS adc
+  FROM q JOIN codes c ON c.vec_id <> q.query_id),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS sr
+    FROM adc)
+  WHERE sr <= $shortlist)"""
+  }
+
   /** Recursive CTEs for connected components over a pair CTE
     * `pairs(id1, id2)`: produces CTE `cc(doc_id, cluster_id = min reachable
     * id)`, singletons included.

@@ -303,6 +303,202 @@ object Embeddings {
     * top-k window. Deterministic: planes from hash60, ties (equal
     * |projection|) break to the lower bit index.
     */
+  // ------------------------------------------------- product quantization
+
+  /** v̂ = v/‖v‖ as a double array. The norm is the same sequential-fold
+    * double the oracle computes (`sqrt(list_dot_product(v, v))`), so
+    * normalized elements are bit-exact across engines. Callers hoist this
+    * into a projected column so the norm subtree is evaluated once per
+    * row, not once per element downstream.
+    */
+  def normalizedCol(v: Column): Column = {
+    val n = sqrt(dotCol(v, v))
+    transform(v, e => e.cast("double") / n)
+  }
+
+  /** Deterministic data-independent PQ codebooks (hash60-uniform entries),
+    * the catalog/oracle configuration: like [[ivfCentroids]], no training
+    * collect and reproducible as SQL literals. `scale` roughly matches the
+    * element range of a unit 64-dim vector so untrained cells still carry
+    * distance signal. codebook(j)(c) is centroid c of subspace j.
+    */
+  def pqCodebooks(m: Int, codes: Int, subDim: Int, seed: Long,
+                  scale: Double = 0.25): Array[Array[Array[Double]]] =
+    Array.tabulate(m, codes, subDim)((j, c, d) =>
+      (Signatures.hash60(s"pq:$seed:$j:$c:$d") % 2001 - 1000) / 1000.0 * scale)
+
+  /** TRAINED PQ codebooks: per-subspace plain-L2 k-means over the same
+    * deterministic driver-side sample discipline as [[trainIvfCentroids]]
+    * (lowest-xxhash64 ids, evenly spaced init, ties to the lower code,
+    * emptied codes reseeded with the worst-quantized sample subvector).
+    * Vectors are L2-normalized BEFORE splitting, because the search metric
+    * is cosine: on unit vectors ‖v̂−ĉ‖² = 2−2cos, so minimizing subspace
+    * L2 error minimizes the ADC cosine error. Plain (not spherical)
+    * k-means within each subspace — subvectors of a unit vector are not
+    * themselves unit, so magnitude IS signal there.
+    */
+  def trainPqCodebooks(vectors: DataFrame, m: Int, codes: Int,
+                       sampleN: Int = 2048, iters: Int = 8): Array[Array[Array[Double]]] = {
+    val sample: Array[Array[Double]] = vectors
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(sampleN)
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).toArray.map(_.toDouble)
+        var acc = 0.0; var i = 0
+        while (i < v.length) { acc += v(i) * v(i); i += 1 }
+        val n = math.sqrt(acc)
+        if (n > 0) { i = 0; while (i < v.length) { v(i) /= n; i += 1 } }
+        v
+      }
+    require(sample.nonEmpty, "cannot train PQ on an empty vector table")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val subDim = dim / m
+
+    def dist2(a: Array[Double], off: Int, b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < b.length) { val d = a(off + i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+
+    Array.tabulate(m) { j =>
+      val off = j * subDim
+      val k = math.min(codes, sample.length)
+      val cents = Array.tabulate(k)(c =>
+        java.util.Arrays.copyOfRange(sample((c.toLong * sample.length / k).toInt), off, off + subDim))
+      val assign = new Array[Int](sample.length)
+      var it = 0
+      while (it < iters) {
+        var p = 0
+        while (p < sample.length) {
+          var bestC = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            val d = dist2(sample(p), off, cents(c))
+            if (d < bestD) { bestD = d; bestC = c }
+            c += 1
+          }
+          assign(p) = bestC
+          p += 1
+        }
+        val sums = Array.ofDim[Double](k, subDim)
+        val counts = new Array[Int](k)
+        p = 0
+        while (p < sample.length) {
+          val c = assign(p); counts(c) += 1
+          var i = 0
+          while (i < subDim) { sums(c)(i) += sample(p)(off + i); i += 1 }
+          p += 1
+        }
+        var c = 0
+        while (c < k) {
+          if (counts(c) > 0) {
+            var i = 0
+            while (i < subDim) { cents(c)(i) = sums(c)(i) / counts(c); i += 1 }
+          } else {
+            var far = 0; var farD = -1.0; var q = 0
+            while (q < sample.length) {
+              val d = dist2(sample(q), off, cents(assign(q)))
+              if (d > farD) { farD = d; far = q }
+              q += 1
+            }
+            cents(c) = java.util.Arrays.copyOfRange(sample(far), off, off + subDim)
+          }
+          c += 1
+        }
+        it += 1
+      }
+      cents
+    }
+  }
+
+  private def cbLiteral(cb: Array[Array[Array[Double]]]): Column =
+    typedlit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** Sequential-fold ‖a−b‖² over two double-array columns — mirrors DuckDB
+    * `list_dot_product(diff, diff)` bit-for-bit.
+    */
+  private def sqDistCol(a: Column, b: Column): Column = {
+    val d = zip_with(a, b, (x, y) => x - y)
+    aggregate(zip_with(d, d, (x, y) => x * y), lit(0.0), (acc, t) => acc + t)
+  }
+
+  /** PQ codes of a NORMALIZED double-array column: per subspace, the
+    * 0-based index of the L2-nearest codebook entry (first-min ties, same
+    * as the oracle's `list_position(d, list_min(d))`). Builtin
+    * higher-order functions over a codebook literal — no ScalaUDF
+    * anywhere in the corpus encode path (PlanSpec-gated). This map is the
+    * whole index build: O(n·codes·dim) with nothing shuffled, and the
+    * emitted index row is m ints instead of dim floats — at the 10^12
+    * target that is the difference between an index that fits executor
+    * memory and one that doesn't (64-dim float → 8-byte codes is 32×).
+    */
+  def pqCodesCol(nv: Column, cb: Array[Array[Array[Double]]]): Column = {
+    val m = cb.length
+    val subDim = cb(0)(0).length
+    val cbLit = cbLiteral(cb)
+    transform(sequence(lit(0), lit(m - 1)), j => {
+      val sub = slice(nv, j * subDim + 1, lit(subDim))
+      val dists = transform(element_at(cbLit, j + 1), c => sqDistCol(sub, c))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    })
+  }
+
+  /** PQ-ADC top-k with exact re-rank — the IVF-PQ search shape without the
+    * coarse stage (compose with [[ivfTopK]]'s cells for both): score every
+    * (query, code-row) pair by asymmetric distance Σ_j ‖q̂_j − C_j[code_j]‖²
+    * (on unit vectors, monotone in cosine), keep a per-query shortlist,
+    * then re-rank ONLY the shortlist with the exact float cosine. The
+    * corpus side that meets the broadcast queries carries codes, never
+    * embeddings, so the scan prunes the wide float column from the
+    * O(n·queries) stage entirely. Deterministic: ADC ties break on
+    * neighbor_id, re-rank ties likewise.
+    */
+  def pqRerankTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                   cb: Array[Array[Array[Double]]], shortlist: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = cb.length
+    val subDim = cb(0)(0).length
+    val cbLit = cbLiteral(cb)
+
+    val coded = vectors
+      .select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .withColumn("_nv", normalizedCol(col("embedding")))
+      .withColumn("pq", pqCodesCol(col("_nv"), cb))
+      .select(col("neighbor_id"), col("pq"))
+    val q = queries
+      .select(col("vec_id").as("query_id"), col("embedding"))
+      .withColumn("qnv", normalizedCol(col("embedding")))
+      .select(col("query_id"), col("qnv"))
+
+    val terms = transform(sequence(lit(0), lit(m - 1)), j => {
+      val qsub = slice(col("qnv"), j * subDim + 1, lit(subDim))
+      val cent = element_at(element_at(cbLit, j + 1), element_at(col("pq"), j + 1) + 1)
+      sqDistCol(qsub, cent)
+    })
+    val short = coded.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", aggregate(terms, lit(0.0), (acc, t) => acc + t))
+      .withColumn("_sr", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))))
+      .where(col("_sr") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+
+    val qn = withNorm(queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      "qv", "qn")
+    val vn = withNorm(vectors.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
+      "nv", "nn")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    short.join(broadcast(qn), Seq("query_id")).join(vn, Seq("neighbor_id"))
+      .withColumn("cosine", dotCol(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("int").as("rank"),
+        col("cosine"))
+  }
+
   def lshTopKMultiProbe(vectors: DataFrame, queries: DataFrame, k: Int,
                         dim: Int = 64, bits: Int = 24, bands: Int = 6,
                         probesPerBand: Int = 2, seed: Long = 42L,

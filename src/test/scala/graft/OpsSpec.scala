@@ -97,6 +97,55 @@ class OpsSpec extends AnyFunSuite {
     assert(r2 >= 0.8, s"semantic-pair recall $r2 below 0.8")
   }
 
+  test("PQ rerank: near-dup recall@1 and general recall; trained codebooks beat untrained") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val untrainedCb = Embeddings.pqCodebooks(8, 16, 8, seed = 7L)
+    val trainedCb = Embeddings.trainPqCodebooks(vecs, 8, 16)
+
+    // the metric PQ exists for: do planted near-duplicates (cos >= 0.4,
+    // vs a ~0.0-cos uniform bulk) survive the ADC shortlist? The bulk's
+    // exact top-10 is angle noise — distance concentration makes ANY
+    // quantizer weak there, so that recall is reported, not gated hard.
+    val nearIds = Embeddings.thresholdPairs(vecs, 0.4)
+      .select(explode(array(col("id1"), col("id2"))).as("vec_id")).distinct()
+    val nearQueries = vecs.join(nearIds, Seq("vec_id"))
+    val exact1 = Embeddings.topK(vecs, nearQueries, 1).where(col("cosine") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact1.nonEmpty, "fixture must contain near-duplicate queries")
+    def nearRecall(cb: Array[Array[Array[Double]]]): Double = {
+      val got = Embeddings.pqRerankTopK(vecs, nearQueries, 1, cb, shortlist = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & exact1).size.toDouble / exact1.size
+    }
+    val nearU = nearRecall(untrainedCb)
+    val nearT = nearRecall(trainedCb)
+
+    val queries = vecs.where(col("vec_id") % 50 === 0)
+    val exact = Embeddings.topK(vecs, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def bulkRecall(cb: Array[Array[Array[Double]]]): Double = {
+      val got = Embeddings.pqRerankTopK(vecs, queries, 10, cb, shortlist = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val bulkU = bulkRecall(untrainedCb)
+    val bulkT = bulkRecall(trainedCb)
+    info(f"near-dup recall@1: untrained=$nearU%.3f trained=$nearT%.3f (n=${exact1.size}); " +
+      f"bulk recall@10: untrained=$bulkU%.3f trained=$bulkT%.3f")
+    assert(nearT >= 0.9, s"trained PQ must keep near-duplicates: $nearT")
+    assert(nearT >= nearU - 0.02, "training must not lose near-dup recall")
+    assert(bulkT >= bulkU - 0.02, "training must not lose bulk recall")
+    assert(bulkU >= 0.4, s"untrained (catalog) bulk recall floor: $bulkU")
+  }
+
+  test("trained PQ codebooks are deterministic across invocations") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val a = Embeddings.trainPqCodebooks(vecs, 8, 16)
+    val b = Embeddings.trainPqCodebooks(vecs, 8, 16)
+    assert(a.length == 8 && a(0).length == 16 && a(0)(0).length == 8)
+    assert(a.flatten.flatten.toSeq == b.flatten.flatten.toSeq)
+  }
+
   test("multi-probe SRP-LSH: flipping least-confident bits buys recall without more bands") {
     val vecs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     // query set = members of genuinely-near pairs (planted near-duplicates;

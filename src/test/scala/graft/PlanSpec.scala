@@ -177,6 +177,22 @@ class PlanSpec extends AnyFunSuite {
       "within-cell pairing must be a keyed join, not a cross product")
   }
 
+  test("PQ corpus encode is UDF-free (builtin HOFs over the codebook literal)") {
+    import spark.implicits._
+    val vecs = (0L until 32L)
+      .map(i => (i, Array.tabulate(64)(d => ((i * 17 + d) % 11).toFloat / 11f).toSeq))
+      .toDF("vec_id", "embedding")
+    val cb = graft.ops.Embeddings.pqCodebooks(8, 16, 8, seed = 7L)
+    val df = graft.ops.Embeddings.pqRerankTopK(vecs, vecs.where($"vec_id" % 8 === 0), 5, cb)
+    val udfs = df.queryExecution.optimizedPlan.collect {
+      case p => p.expressions.flatMap(_.collect {
+        case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+      })
+    }.flatten
+    assert(udfs.isEmpty, s"PQ path must not contain Scala UDFs: $udfs")
+    assert(!formatted(df).contains("CartesianProduct"))
+  }
+
   test("ds_sample is a shuffle-free map-side filter") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-docs").toString
