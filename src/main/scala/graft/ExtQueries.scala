@@ -79,9 +79,11 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM r WHERE ran
       annK, pqCb, pqShortlist)
   }
 
-  private lazy val annPqSql =
-    s"""WITH ${OracleGen.pqCtes(pqCb, annQueryMod, pqShortlist)},
-rr AS (
+  /** Exact-cosine re-rank tail over CTEs `short(query_id, neighbor_id)`
+    * and `e(vec_id, v)` — shared by ann_pq and ann_ivfpq.
+    */
+  private def pqRerankTailSql: String =
+    s"""rr AS (
   SELECT s.query_id, s.neighbor_id,
     list_dot_product(qe.v, ne.v) /
       (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ne.v, ne.v))) AS cosine
@@ -92,6 +94,24 @@ r AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
   FROM rr)
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM r WHERE rank <= $annK"""
+
+  private lazy val annPqSql =
+    s"""WITH ${OracleGen.pqCtes(pqCb, annQueryMod, pqShortlist)},
+$pqRerankTailSql"""
+
+  /** Composed IVF-PQ: coarse cells prune the corpus, ADC over the probed
+    * cells' codes shortlists, exact cosine re-ranks — the full
+    * 10^12-scale search layout in one oracle-mirrored query.
+    */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = embBase(spark, dir)
+    Embeddings.ivfPqTopK(vecs, vecs.where(col("vec_id") % annQueryMod === 0),
+      annK, pqCb, shortlist = pqShortlist)
+  }
+
+  private lazy val annIvfPqSql =
+    s"""WITH ${OracleGen.ivfPqCtes(pqCb, 16, 64, 42L, annQueryMod, 4, pqShortlist)},
+$pqRerankTailSql"""
 
   def embPairs(spark: SparkSession, dir: String): DataFrame =
     Embeddings.thresholdPairs(embBase(spark, dir), embThreshold)
@@ -914,6 +934,7 @@ SELECT lang, token, n, rnk FROM r WHERE rnk <= $vocabK"""
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_pq" -> (annPq _),
+    "ann_ivfpq" -> (annIvfPq _),
     "emb_pairs" -> (embPairs _),
     "dd_semantic" -> (ddSemantic _),
     "ta_langid" -> (taLangid _),
@@ -944,6 +965,7 @@ SELECT lang, token, n, rnk FROM r WHERE rnk <= $vocabK"""
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
     "ann_pq" -> annPqSql,
+    "ann_ivfpq" -> annIvfPqSql,
     "emb_pairs" -> embPairsSql,
     "dd_semantic" -> ddSemanticSql,
     "ta_langid" -> taLangidSql,

@@ -196,35 +196,52 @@ cells AS (SELECT vec_id AS neighbor_id, v AS nv, c AS cell FROM rc WHERE crank =
     * fold-order-exact. Produces CTEs through `short(query_id,
     * neighbor_id)` plus `e(vec_id, v)` for the exact re-rank.
     */
-  def pqCtes(cb: Array[Array[Array[Double]]], queryMod: Int, shortlist: Int): String = {
-    val m = cb.length
-    val subDim = cb(0)(0).length
-    val cbLit = cb.map(_.map(_.map(java.lang.Double.toString)
+  private def cbLiteralSql(cb: Array[Array[Array[Double]]]): String =
+    cb.map(_.map(_.map(java.lang.Double.toString)
         .mkString("[", ", ", "]")).mkString("[", ", ", "]"))
       .mkString("[", ", ", "]")
-    def diff(vec: String, cent: String) =
-      s"list_transform(generate_series(1, $subDim), i -> $vec[j*$subDim + i] - $cent[i])"
+
+  private def pqDiffSql(cb: Array[Array[Array[Double]]])(vec: String, cent: String) =
+    s"list_transform(generate_series(1, ${cb(0)(0).length}), i -> " +
+      s"$vec[j*${cb(0)(0).length} + i] - $cent[i])"
+
+  /** CTEs `nrm`, `dl`, `codes` computing normalized vectors and PQ codes;
+    * assumes a CTE `e(vec_id, v DOUBLE[])` is already defined.
+    */
+  private def pqCodesCtes(cb: Array[Array[Array[Double]]]): String = {
+    val diff = pqDiffSql(cb) _
     val d2corpus = s"list_dot_product(${diff("nv", "cent")}, ${diff("nv", "cent")})"
-    val qcent = s"($cbLit)[j+1][c.pq[j+1]+1]"
-    val d2query = s"list_dot_product(${diff("q.qnv", qcent)}, ${diff("q.qnv", qcent)})"
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-nrm AS (
+    s"""nrm AS (
   SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
   FROM e),
 dl AS (
   SELECT vec_id,
-    list_transform(generate_series(0, ${m - 1}), j ->
-      list_transform(($cbLit)[j+1], cent -> $d2corpus)) AS ds
+    list_transform(generate_series(0, ${cb.length - 1}), j ->
+      list_transform((${cbLiteralSql(cb)})[j+1], cent -> $d2corpus)) AS ds
   FROM nrm),
 codes AS (
   SELECT vec_id, list_transform(ds, d -> list_position(d, list_min(d)) - 1) AS pq
-  FROM dl),
+  FROM dl)"""
+  }
+
+  /** ADC select expression over aliases `q` (qnv) and `c` (pq) — the
+    * dot-with-ones sum is the same sequential fold as Spark's aggregate.
+    */
+  private def pqAdcSql(cb: Array[Array[Array[Double]]]): String = {
+    val diff = pqDiffSql(cb) _
+    val qcent = s"(${cbLiteralSql(cb)})[j+1][c.pq[j+1]+1]"
+    val d2query = s"list_dot_product(${diff("q.qnv", qcent)}, ${diff("q.qnv", qcent)})"
+    s"""list_dot_product(
+      list_transform(generate_series(0, ${cb.length - 1}), j -> $d2query),
+      list_transform(generate_series(0, ${cb.length - 1}), j -> 1.0))"""
+  }
+
+  def pqCtes(cb: Array[Array[Array[Double]]], queryMod: Int, shortlist: Int): String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+${pqCodesCtes(cb)},
 q AS (SELECT vec_id AS query_id, nv AS qnv FROM nrm WHERE vec_id % $queryMod = 0),
 adc AS (
-  SELECT q.query_id, c.vec_id AS neighbor_id,
-    list_dot_product(
-      list_transform(generate_series(0, ${m - 1}), j -> $d2query),
-      list_transform(generate_series(0, ${m - 1}), j -> 1.0)) AS adc
+  SELECT q.query_id, c.vec_id AS neighbor_id, ${pqAdcSql(cb)} AS adc
   FROM q JOIN codes c ON c.vec_id <> q.query_id),
 short AS (
   SELECT query_id, neighbor_id FROM (
@@ -232,7 +249,33 @@ short AS (
       row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS sr
     FROM adc)
   WHERE sr <= $shortlist)"""
-  }
+
+  /** Composed IVF-PQ CTEs: [[ivfCtes]]' cell assignment (e, sc, rc, cells)
+    * + PQ codes + cell-restricted ADC. Queries probe their `nprobe`
+    * best-ranked cells (rc), candidates are the probed cells' members
+    * only, scored by ADC, shortlisted per query. Ends at
+    * `short(query_id, neighbor_id)`; re-rank joins back to `e`.
+    */
+  def ivfPqCtes(cb: Array[Array[Array[Double]]], numCells: Int, dim: Int,
+                seed: Long, queryMod: Int, nprobe: Int, shortlist: Int): String =
+    s"""${ivfCtes(numCells, dim, seed)},
+${pqCodesCtes(cb)},
+qprobes AS (
+  SELECT vec_id AS query_id, c AS cell FROM rc
+  WHERE vec_id % $queryMod = 0 AND crank <= $nprobe),
+q AS (SELECT vec_id AS query_id, nv AS qnv FROM nrm WHERE vec_id % $queryMod = 0),
+adc AS (
+  SELECT q.query_id, cl.neighbor_id, ${pqAdcSql(cb)} AS adc
+  FROM qprobes p
+  JOIN cells cl ON cl.cell = p.cell AND cl.neighbor_id <> p.query_id
+  JOIN codes c ON c.vec_id = cl.neighbor_id
+  JOIN q ON q.query_id = p.query_id),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS sr
+    FROM adc)
+  WHERE sr <= $shortlist)"""
 
   /** Recursive CTEs for connected components over a pair CTE
     * `pairs(id1, id2)`: produces CTE `cc(doc_id, cluster_id = min reachable

@@ -459,10 +459,6 @@ object Embeddings {
   def pqRerankTopK(vectors: DataFrame, queries: DataFrame, k: Int,
                    cb: Array[Array[Array[Double]]], shortlist: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val m = cb.length
-    val subDim = cb(0)(0).length
-    val cbLit = cbLiteral(cb)
-
     val coded = vectors
       .select(col("vec_id").as("neighbor_id"), col("embedding"))
       .withColumn("_nv", normalizedCol(col("embedding")))
@@ -473,18 +469,39 @@ object Embeddings {
       .withColumn("qnv", normalizedCol(col("embedding")))
       .select(col("query_id"), col("qnv"))
 
-    val terms = transform(sequence(lit(0), lit(m - 1)), j => {
-      val qsub = slice(col("qnv"), j * subDim + 1, lit(subDim))
-      val cent = element_at(element_at(cbLit, j + 1), element_at(col("pq"), j + 1) + 1)
-      sqDistCol(qsub, cent)
-    })
     val short = coded.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc", aggregate(terms, lit(0.0), (acc, t) => acc + t))
+      .withColumn("adc", adcCol(col("qnv"), col("pq"), cb))
       .withColumn("_sr", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))))
       .where(col("_sr") <= shortlist)
       .select(col("query_id"), col("neighbor_id"))
 
+    exactRerank(short, vectors, queries, k)
+  }
+
+  /** Asymmetric distance Σ_j ‖q̂_j − C_j[code_j]‖² between a normalized
+    * query column and a codes column, as the same sequential fold the
+    * oracle's dot-with-ones reproduces.
+    */
+  private def adcCol(qnv: Column, pq: Column,
+                     cb: Array[Array[Array[Double]]]): Column = {
+    val m = cb.length
+    val subDim = cb(0)(0).length
+    val cbLit = cbLiteral(cb)
+    val terms = transform(sequence(lit(0), lit(m - 1)), j => {
+      val qsub = slice(qnv, j * subDim + 1, lit(subDim))
+      val cent = element_at(element_at(cbLit, j + 1), element_at(pq, j + 1) + 1)
+      sqDistCol(qsub, cent)
+    })
+    aggregate(terms, lit(0.0), (acc, t) => acc + t)
+  }
+
+  /** Exact float-cosine re-rank of a (query_id, neighbor_id) shortlist —
+    * only the shortlist rows ever touch the wide embedding column again.
+    */
+  private def exactRerank(short: DataFrame, vectors: DataFrame,
+                          queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val qn = withNorm(queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
       "qv", "qn")
     val vn = withNorm(vectors.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
@@ -497,6 +514,45 @@ object Embeddings {
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("int").as("rank"),
         col("cosine"))
+  }
+
+  /** Full IVF-PQ: coarse cell pruning, PQ-ADC shortlist within the probed
+    * cells only, exact re-rank — the composed 10^12-scale search layout.
+    * The corpus index row is (cell:int, codes:m ints); the O(n·queries)
+    * ADC stage touches only nprobe/K of that already-32×-narrower index,
+    * and the wide float column is read again only for the per-query
+    * shortlist. One shuffle (corpus → cells); queries broadcast.
+    */
+  def ivfPqTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                cb: Array[Array[Array[Double]]],
+                numCells: Int = 16, nprobe: Int = 4, dim: Int = 64,
+                seed: Long = 42L, shortlist: Int = 50,
+                centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = centroids.getOrElse(ivfCentroids(numCells, dim, seed))
+    val cellOf = ivfCellAssigner(cents, 1)
+    val probeOf = ivfCellAssigner(cents, nprobe)
+    val coded = vectors
+      .select(col("vec_id").as("neighbor_id"), col("embedding"),
+        explode(cellOf(col("embedding"))).as("cell"))
+      .withColumn("_nv", normalizedCol(col("embedding")))
+      .withColumn("pq", pqCodesCol(col("_nv"), cb))
+      .select(col("cell"), col("neighbor_id"), col("pq"))
+    val q = queries
+      .select(col("vec_id").as("query_id"), col("embedding"),
+        explode(probeOf(col("embedding"))).as("cell"))
+      .withColumn("qnv", normalizedCol(col("embedding")))
+      .select(col("cell"), col("query_id"), col("qnv"))
+    // every corpus vector lives in exactly one cell, so a (query, neighbor)
+    // pair meets at most once across the probed cells — no dedup needed
+    val short = coded.join(broadcast(q), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", adcCol(col("qnv"), col("pq"), cb))
+      .withColumn("_sr", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))))
+      .where(col("_sr") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(short, vectors, queries, k)
   }
 
   def lshTopKMultiProbe(vectors: DataFrame, queries: DataFrame, k: Int,

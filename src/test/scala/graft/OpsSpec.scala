@@ -138,6 +138,35 @@ class OpsSpec extends AnyFunSuite {
     assert(bulkU >= 0.4, s"untrained (catalog) bulk recall floor: $bulkU")
   }
 
+  test("IVF-PQ composition: near-dup recall survives the coarse pruning") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val cb = Embeddings.pqCodebooks(8, 16, 8, seed = 7L)
+    val nearIds = Embeddings.thresholdPairs(vecs, 0.4)
+      .select(explode(array(col("id1"), col("id2"))).as("vec_id")).distinct()
+    val nearQueries = vecs.join(nearIds, Seq("vec_id"))
+    val exact1 = Embeddings.topK(vecs, nearQueries, 1).where(col("cosine") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact1.nonEmpty)
+    def recallAt(nprobe: Int): Double = {
+      val got = Embeddings.ivfPqTopK(vecs, nearQueries, 1, cb, nprobe = nprobe,
+          shortlist = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & exact1).size.toDouble / exact1.size
+    }
+    val pqOnly = {
+      val got = Embeddings.pqRerankTopK(vecs, nearQueries, 1, cb, shortlist = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & exact1).size.toDouble / exact1.size
+    }
+    val r4 = recallAt(4)
+    val r16 = recallAt(16)
+    info(f"near-dup recall@1: pq-full-scan=$pqOnly%.3f ivfpq nprobe4=$r4%.3f nprobe16=$r16%.3f")
+    // probing ALL cells must recover exactly the unpruned PQ result —
+    // the composition changes WHERE we look, never how we score
+    assert(r16 == pqOnly, s"nprobe=K must equal the full PQ scan ($r16 vs $pqOnly)")
+    assert(r4 >= 0.5, s"coarse pruning at nprobe=4/16 keeps most near-dups: $r4")
+  }
+
   test("trained PQ codebooks are deterministic across invocations") {
     val vecs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val a = Embeddings.trainPqCodebooks(vecs, 8, 16)

@@ -183,14 +183,19 @@ class PlanSpec extends AnyFunSuite {
       .map(i => (i, Array.tabulate(64)(d => ((i * 17 + d) % 11).toFloat / 11f).toSeq))
       .toDF("vec_id", "embedding")
     val cb = graft.ops.Embeddings.pqCodebooks(8, 16, 8, seed = 7L)
-    val df = graft.ops.Embeddings.pqRerankTopK(vecs, vecs.where($"vec_id" % 8 === 0), 5, cb)
-    val udfs = df.queryExecution.optimizedPlan.collect {
-      case p => p.expressions.flatMap(_.collect {
-        case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
-      })
-    }.flatten
-    assert(udfs.isEmpty, s"PQ path must not contain Scala UDFs: $udfs")
-    assert(!formatted(df).contains("CartesianProduct"))
+    val queries = vecs.where($"vec_id" % 8 === 0)
+    Seq(
+      graft.ops.Embeddings.pqRerankTopK(vecs, queries, 5, cb),
+      graft.ops.Embeddings.ivfPqTopK(vecs, queries, 5, cb, shortlist = 20)
+    ).foreach { df =>
+      val udfs = df.queryExecution.optimizedPlan.collect {
+        case p => p.expressions.flatMap(_.collect {
+          case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+        })
+      }.flatten
+      assert(udfs.isEmpty, s"PQ path must not contain Scala UDFs: $udfs")
+      assert(!formatted(df).contains("CartesianProduct"))
+    }
   }
 
   test("ds_sample is a shuffle-free map-side filter") {
