@@ -923,6 +923,114 @@ r AS (
   FROM c)
 SELECT lang, token, n, rnk FROM r WHERE rnk <= $vocabK"""
 
+  /** Train/val/test split buckets out of 100 (last absorbs remainder). */
+  val splitFractions: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 5, "test" -> 5)
+
+  /** Deterministic hash-bucket dataset split — pure row-local map, stable
+    * across reruns/partitionings (PlanSpec gates zero exchanges).
+    */
+  def dsSplit(spark: SparkSession, dir: String): DataFrame =
+    Sampling.split(
+      table(spark, dir, "documents").select(col("doc_id"), col("lang")),
+      col("doc_id"), splitFractions)
+
+  private val dsSplitSql = {
+    val cuts = splitFractions.map(_._2).scanLeft(0)(_ + _).tail
+    val arms = splitFractions.zip(cuts).init
+      .map { case ((name, _), cut) => s"WHEN bucket < $cut THEN '$name'" }
+      .mkString(" ")
+    s"""WITH b AS (
+  SELECT doc_id, lang,
+    ${Signatures.hash60Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+  FROM documents)
+SELECT doc_id, lang, bucket,
+  CASE $arms ELSE '${splitFractions.last._1}' END AS split
+FROM b"""
+  }
+
+  /** Ordered conversion funnel over the event stream (strictly-after stage
+    * sequencing; one scan-pruned pass per stage, all joins/aggs co-keyed on
+    * user_id — PlanSpec gates the exchange count).
+    */
+  val funnelStages: Seq[String] = Seq("signup", "view", "click", "purchase")
+
+  def evFunnel(spark: SparkSession, dir: String): DataFrame =
+    Events.funnel(table(spark, dir, "events"), funnelStages)
+
+  private val evFunnelSql = {
+    val head = funnelStages.head
+    val ctes = Seq(
+      s"""s0 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t_${head}_us
+  FROM events WHERE event_type = '$head' GROUP BY 1)""") ++
+      funnelStages.sliding(2).filter(_.length == 2).zipWithIndex.map {
+        case (Seq(prev, next), i) =>
+          s"""s${i + 1} AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t_${next}_us
+  FROM events e JOIN s$i USING (user_id)
+  WHERE e.event_type = '$next' AND epoch_us(e.ts) > t_${prev}_us GROUP BY 1)"""
+      }
+    val depth = funnelStages.tail
+      .map(s => s"CASE WHEN t_${s}_us IS NOT NULL THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val joins = funnelStages.tail.indices
+      .map(i => s"LEFT JOIN s${i + 1} USING (user_id)").mkString(" ")
+    s"""WITH ${ctes.mkString(",\n")}
+SELECT user_id, ${funnelStages.map(s => s"t_${s}_us").mkString(", ")},
+  CAST(1 + $depth AS INT) AS stage_depth
+FROM s0 $joins"""
+  }
+
+  /** Corpus-derived OOV scoring: per-language top-`oovVocabK` vocabulary,
+    * then per-document out-of-vocabulary token fraction (broadcast dict,
+    * map-side scoring).
+    */
+  val oovVocabK = 20
+
+  def taOov(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.oovScore(table(spark, dir, "documents"), "text", vocabK = oovVocabK)
+
+  private val taOovSql =
+    s"""WITH n0 AS (
+  SELECT doc_id, lang, ${Signatures.normalizeSql("text")} AS norm FROM documents),
+t AS (
+  SELECT doc_id, lang, unnest(string_split(norm, ' ')) AS token
+  FROM n0 WHERE length(norm) > 0),
+c AS (SELECT lang, token, count(*) AS n FROM t GROUP BY 1, 2),
+v AS (
+  SELECT lang, token, 1 AS inv FROM (
+    SELECT lang, token,
+      row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rnk
+    FROM c) WHERE rnk <= $oovVocabK)
+SELECT t.doc_id, t.lang, count(*) AS n_tokens,
+  CAST(sum(CASE WHEN v.inv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+  CAST(sum(CASE WHEN v.inv IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_frac
+FROM t LEFT JOIN v ON v.lang = t.lang AND v.token = t.token
+GROUP BY 1, 2"""
+
+  /** Eval-set decontamination over hashed word 5-grams; the deterministic
+    * "benchmark" slice is doc_id % 50 = 0 (the 2% eval side broadcasts).
+    */
+  val decontamN = 5
+  val decontamEvalMod = 50
+
+  def ddDecontam(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.decontaminate(table(spark, dir, "documents"), "text",
+      col("doc_id") % decontamEvalMod === 0, decontamN)
+
+  private val ddDecontamSql =
+    s"""WITH ${OracleGen.nrmCte},
+${OracleGen.wordNgramCtes(decontamN)},
+g AS (SELECT doc_id, ${Signatures.hash60Sql("sh")} AS g FROM sh),
+ev AS (SELECT DISTINCT g FROM g WHERE doc_id % $decontamEvalMod = 0),
+tr AS (
+  SELECT t.doc_id, count(*) AS n_grams,
+    CAST(sum(CASE WHEN e.g IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_contaminated
+  FROM g t LEFT JOIN ev e ON e.g = t.g
+  WHERE t.doc_id % $decontamEvalMod <> 0
+  GROUP BY 1)
+SELECT doc_id, n_grams, n_contaminated, n_contaminated > 0 AS contaminated FROM tr"""
+
   // ------------------------------------------------------------ registry
 
   // lazy: Queries.all references this map while this object's init
@@ -943,8 +1051,12 @@ SELECT lang, token, n, rnk FROM r WHERE rnk <= $vocabK"""
     "ta_vocab" -> (taVocab _),
     "ta_fingerprint" -> (taFingerprint _),
     "ds_sample" -> (dsSample _),
+    "ds_split" -> (dsSplit _),
     "ev_props" -> (evProps _),
     "ev_asof" -> (evAsof _),
+    "ev_funnel" -> (evFunnel _),
+    "ta_oov" -> (taOov _),
+    "dd_decontam" -> (ddDecontam _),
     "sim_collection" -> (simCollection _),
     "classify_rules" -> (classifyRules _),
     "fuse_canonical" -> (fuseCanonical _),
@@ -974,8 +1086,12 @@ SELECT lang, token, n, rnk FROM r WHERE rnk <= $vocabK"""
     "ta_vocab" -> taVocabSql,
     "ta_fingerprint" -> taFingerprintSql,
     "ds_sample" -> dsSampleSql,
+    "ds_split" -> dsSplitSql,
     "ev_props" -> evPropsSql,
     "ev_asof" -> evAsofSql,
+    "ev_funnel" -> evFunnelSql,
+    "ta_oov" -> taOovSql,
+    "dd_decontam" -> ddDecontamSql,
     "sim_collection" -> simCollectionSql,
     "classify_rules" -> classifyRulesSql,
     "fuse_canonical" -> fuseCanonicalSql,

@@ -75,6 +75,49 @@ object Events {
       .select(col("event_id"), col("user_id"), col(prevValue), col("gap_us"))
   }
 
+  /** Ordered funnel: for each user, the earliest time of stage i+1 STRICTLY
+    * AFTER the user's earliest completion of stage i (a view before the
+    * signup does not count). `stage_depth` is the number of stages reached.
+    *
+    * Shape at scale: the stage-type filter pushes to the scan, then ONE
+    * hash-partition on user_id feeds a chain of whole-partition window
+    * mins — stage i+1's `min(us WHERE type=s AND us > t_i)` reads the
+    * previous window's per-user constant, so the sequential dependence
+    * costs extra partition-local passes, never extra shuffles (a
+    * stage-per-join formulation plans k exchanges and re-aggregates the
+    * prefix chain under every left join). The final per-user collapse
+    * reuses the same partitioning: exactly one exchange at any scale
+    * (PlanSpec-gated). Timestamps are integer microseconds for oracle
+    * exactness.
+    */
+  def funnel(
+      events: DataFrame,
+      stages: Seq[String] = Seq("signup", "view", "click", "purchase")): DataFrame = {
+    require(stages.nonEmpty)
+    def tCol(s: String) = s"t_${s}_us"
+    val byUser = Window.partitionBy(col("user_id"))
+    val e = events
+      .filter(col("event_type").isin(stages: _*))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn(tCol(stages.head),
+        min(when(col("event_type") === stages.head, col("us"))).over(byUser))
+    val staged = stages.sliding(2).filter(_.length == 2).foldLeft(e) {
+      case (df, Seq(prev, next)) =>
+        df.withColumn(tCol(next),
+          min(when(col("event_type") === next && col("us") > col(tCol(prev)),
+            col("us"))).over(byUser))
+    }
+    val depth = stages.tail.map(s => when(col(tCol(s)).isNotNull, 1).otherwise(0))
+      .foldLeft(lit(1))(_ + _)
+    staged
+      .groupBy(col("user_id"))
+      .agg(min(col(tCol(stages.head))).as(tCol(stages.head)),
+        stages.tail.map(s => min(col(tCol(s))).as(tCol(s))): _*)
+      .where(col(tCol(stages.head)).isNotNull)
+      .withColumn("stage_depth", depth.cast("int"))
+  }
+
   /** Per-event-type rollup over the extracted JSON field: classic
     * partial-aggregate shape (map-side combine on the handful of event
     * types, one tiny shuffle). All aggregates are order-independent

@@ -27,6 +27,32 @@ object Sampling {
   def bucketCol(key: Column, nBuckets: Int = 100): Column =
     pmod(Signatures.hash60Col(key), lit(nBuckets))
 
+  /** Deterministic train/val/test split: every row gets exactly one split
+    * label from its hash bucket. `fractions` are integer bucket widths out
+    * of `nBuckets` (e.g. 90/5/5); the last split absorbs any remainder. The
+    * key is salted so the split is statistically independent of any
+    * [[stratified]] sampling decision over the same key — a row's keep and
+    * split fates must not correlate.
+    *
+    * Like sampling, this is a pure row-local map (zero exchanges at any
+    * scale), and the assignment is stable across reruns, cluster sizes and
+    * partitionings — the property a resumable 100 TB curation run needs.
+    */
+  def split(
+      df: DataFrame,
+      key: Column,
+      fractions: Seq[(String, Int)],
+      salt: String = "split",
+      nBuckets: Int = 100): DataFrame = {
+    require(fractions.nonEmpty && fractions.map(_._2).sum <= nBuckets)
+    val bucket = bucketCol(concat(lit(s"$salt:"), key.cast("string")), nBuckets)
+    val cuts = fractions.map(_._2).scanLeft(0)(_ + _).tail
+    val assign = fractions.zip(cuts).init.foldRight(lit(fractions.last._1)) {
+      case (((name, _), cut), acc) => when(col("bucket") < cut, name).otherwise(acc)
+    }
+    df.withColumn("bucket", bucket).withColumn("split", assign)
+  }
+
   /** Deterministic stratified sample: keep a row iff its hash bucket falls
     * under the keep-rate of its stratum (per-mille-style integer rates out
     * of `nBuckets`). Unknown strata fall back to `defaultRate`.

@@ -146,6 +146,70 @@ object TextAnalysis {
       .filter(col("rnk") <= k)
   }
 
+  /** Out-of-vocabulary scoring (the CCNet-style build-dictionary-then-score
+    * shape): phase 1 builds the per-stratum top-`vocabK` vocabulary from the
+    * corpus itself; phase 2 scores every document by the fraction of its
+    * token OCCURRENCES outside that vocabulary. High OOV = junk, boilerplate
+    * or wrong-language text — a standard pre-training quality signal.
+    *
+    * Scale shape: the vocabulary is k·|strata| rows — broadcast — so the
+    * scoring pass is a map-side join over the exploded tokens; explode
+    * preserves partitioning, so the per-doc re-aggregation partial-combines
+    * each document to one row before its single shuffle. Counts are
+    * integers and the fraction one division, so the oracle is hash-exact.
+    */
+  def oovScore(
+      docs: DataFrame,
+      textCol: String,
+      stratum: String = "lang",
+      vocabK: Int = 20): DataFrame = {
+    val vocab = topTokens(docs, textCol, stratum, vocabK)
+      .select(col(stratum), col("token"), lit(1).as("_inv"))
+    docs
+      .select(col("doc_id"), col(stratum),
+        explode(tokensColNonEmpty(col(textCol))).as("token"))
+      .join(broadcast(vocab), Seq(stratum, "token"), "left")
+      .groupBy(col("doc_id"), col(stratum))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("_inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_frac",
+        col("n_oov").cast("double") / col("n_tokens"))
+  }
+
+  /** Benchmark decontamination (the Lee/Brown-style eval-overlap pass):
+    * flag every training document sharing any word `n`-gram with the eval
+    * set. Grams are keyed by hash60 — at corpus scale the join key is 8
+    * bytes instead of a 5-word string, and the SQL oracle hashes
+    * identically, so even the 2^-60 collision behavior is mirrored.
+    *
+    * Scale shape: eval sets are small (benchmark suites), so the distinct
+    * eval-gram set broadcasts and the training side never shuffles its
+    * grams — explode preserves partitioning and the per-doc counts
+    * partial-combine map-side before the one n_docs-row shuffle.
+    * `n_grams`/`n_contaminated` count DISTINCT grams per document.
+    */
+  def decontaminate(
+      docs: DataFrame,
+      textCol: String,
+      evalPred: Column,
+      n: Int = 5): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), evalPred.as("_eval"),
+        explode(Signatures.wordNgramsCol(Signatures.normalizeCol(col(textCol)), n))
+          .as("gram"))
+      .select(col("doc_id"), col("_eval"), Signatures.hash60Col(col("gram")).as("g"))
+    val evalGrams = grams.where(col("_eval"))
+      .select(col("g")).distinct().withColumn("_hit", lit(1))
+    grams.where(!col("_eval"))
+      .join(broadcast(evalGrams), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("_hit").isNull, 0L).otherwise(1L)).as("n_contaminated"))
+      .withColumn("contaminated", col("n_contaminated") > 0)
+  }
+
   /** Document fingerprints: full-content hash60 of the normalized text plus
     * a winnowing-style min-shingle fingerprint (min over k-gram hash60s) —
     * containment-robust near-exact dedup keys.

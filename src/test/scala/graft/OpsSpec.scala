@@ -599,4 +599,95 @@ class OpsSpec extends AnyFunSuite {
     val v = m("view")
     assert(v.getLong(1) == 1 && v.getLong(3) == 40)
   }
+
+  test("funnel: strictly-after stage ordering, null propagation, absent without stage 1") {
+    import spark.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val ev = Seq(
+      // user 1 completes every stage in order
+      (1L, ts(10000000), 1L, "signup"), (2L, ts(20000000), 1L, "view"),
+      (3L, ts(30000000), 1L, "click"), (4L, ts(40000000), 1L, "purchase"),
+      // user 2's view precedes signup (must not count) and its click at the
+      // EXACT signup instant is not strictly after either -> depth 1
+      (5L, ts(5000000), 2L, "view"), (6L, ts(10000000), 2L, "signup"),
+      (7L, ts(10000000), 2L, "click"),
+      // user 3 skips click: purchase without the click stage doesn't deepen
+      (8L, ts(10000000), 3L, "signup"), (9L, ts(20000000), 3L, "view"),
+      (10L, ts(25000000), 3L, "purchase"),
+      // user 4 never signs up -> absent from the funnel
+      (11L, ts(10000000), 4L, "view"), (12L, ts(20000000), 4L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val m = graft.ops.Events.funnel(ev)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m.keySet == Set(1L, 2L, 3L))
+    val u1 = m(1L)
+    assert(u1.getLong(1) == 10000000L && u1.getLong(2) == 20000000L &&
+      u1.getLong(3) == 30000000L && u1.getLong(4) == 40000000L)
+    assert(u1.getInt(5) == 4)
+    val u2 = m(2L)
+    assert(u2.getLong(1) == 10000000L && u2.isNullAt(2) && u2.isNullAt(3) &&
+      u2.isNullAt(4) && u2.getInt(5) == 1)
+    val u3 = m(3L)
+    assert(u3.getLong(2) == 20000000L && u3.isNullAt(3) && u3.isNullAt(4) &&
+      u3.getInt(5) == 2)
+  }
+
+  test("split: exhaustive single-label assignment matching the salted hash, " +
+    "statistically independent of the sampling bucket") {
+    import spark.implicits._
+    import graft.sig.Signatures
+    val df = (0L until 2000L).toDF("doc_id")
+    val fr = Seq("train" -> 90, "val" -> 5, "test" -> 5)
+    val rows = graft.ops.Sampling.split(df, col("doc_id"), fr)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length == 2000)
+    rows.foreach { case (id, b, s) =>
+      val expB = java.lang.Math.floorMod(Signatures.hash60(s"split:$id"), 100L)
+      assert(b == expB, s"bucket of $id")
+      val expS = if (b < 90) "train" else if (b < 95) "val" else "test"
+      assert(s == expS, s"split of $id (bucket $b)")
+    }
+    val nTrain = rows.count(_._3 == "train")
+    assert(nTrain > 1700 && nTrain < 1900, s"~90% train, got $nTrain/2000")
+    // salted split bucket must decorrelate from the unsalted sampling bucket
+    val sampleB = (id: Long) => java.lang.Math.floorMod(Signatures.hash60(id.toString), 100L)
+    val keptAndTrain = rows.count(r => sampleB(r._1) < 50 && r._3 == "train")
+    val kept = rows.count(r => sampleB(r._1) < 50)
+    assert(math.abs(keptAndTrain.toDouble / kept - 0.9) < 0.05,
+      s"split should be independent of sampling: P(train|kept)=${keptAndTrain.toDouble / kept}")
+  }
+
+  test("oovScore: hand-computed OOV fractions against a tiny vocabulary") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x", "a a b"),
+      (2L, "x", "a c"),
+      (3L, "x", ""),       // no tokens -> absent
+      (4L, "y", "q q r"))  // own stratum: vocab is per-language
+      .toDF("doc_id", "lang", "text")
+    // lang x counts: a=3, b=1, c=1 -> top-2 = {a, b}; lang y top-2 = {q, r}
+    val m = graft.ops.TextAnalysis.oovScore(docs, "text", vocabK = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m.keySet == Set(1L, 2L, 4L))
+    assert(m(1L).getLong(2) == 3 && m(1L).getLong(3) == 0 && m(1L).getDouble(4) == 0.0)
+    assert(m(2L).getLong(2) == 2 && m(2L).getLong(3) == 1 && m(2L).getDouble(4) == 0.5)
+    assert(m(4L).getLong(2) == 3 && m(4L).getLong(3) == 0)
+  }
+
+  test("decontaminate: distinct-gram counts, short-doc whole-text gram, eval excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c"),    // eval: grams {a b, b c}
+      (1L, "a b x"),    // shares "a b" -> contaminated 1 of 2
+      (2L, "z z z"),    // gram "z z" appears twice but counts ONCE (distinct)
+      (3L, "q"),        // 1 word < n: whole text is the single gram
+      (4L, ""))         // empty -> absent
+      .toDF("doc_id", "text")
+    val m = graft.ops.TextAnalysis.decontaminate(docs, "text", col("doc_id") === 0, n = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m.keySet == Set(1L, 2L, 3L))
+    assert(m(1L).getLong(1) == 2 && m(1L).getLong(2) == 1 && m(1L).getBoolean(3))
+    assert(m(2L).getLong(1) == 1 && m(2L).getLong(2) == 0 && !m(2L).getBoolean(3))
+    assert(m(3L).getLong(1) == 1 && m(3L).getLong(2) == 0 && !m(3L).getBoolean(3))
+  }
 }

@@ -212,6 +212,49 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Filter"), "keep decision must be a plain filter")
   }
 
+  test("ds_split is a shuffle-free row-local map") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-split").toString
+    (0L until 100L).map(i => (i, "en")).toDF("doc_id", "lang")
+      .write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
+    val plan = formatted(graft.ops.Sampling.split(
+      docs, col("doc_id"), Seq("train" -> 90, "val" -> 5, "test" -> 5)))
+    assert(!plan.contains("Exchange"),
+      s"deterministic split must not shuffle:\n$plan")
+  }
+
+  test("funnel plans exactly ONE exchange (stage chain rides a single user_id partitioning)") {
+    import spark.implicits._
+    val ev = (0L until 200L)
+      .map(i => (i, new java.sql.Timestamp(i * 1000), i % 20,
+        Seq("signup", "view", "click", "purchase")(Math.floorMod(i, 4).toInt)))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val plan = formatted(graft.ops.Events.funnel(ev))
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains(") Exchange") || l.trim.startsWith("Exchange"))
+    assert(exchanges == 1,
+      s"stage windows and the final agg must share one user_id exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("No Partition Defined"))
+    assert(!plan.contains("Join"), s"window form must plan no joins:\n$plan")
+  }
+
+  test("ta_oov scores via a broadcast dictionary; dd_decontam via broadcast eval grams") {
+    import spark.implicits._
+    val docs = (0L until 50L)
+      .map(i => (i, if (i % 2 == 0) "en" else "fr", s"tok$i the a of and"))
+      .toDF("doc_id", "lang", "text")
+    val oov = formatted(graft.ops.TextAnalysis.oovScore(docs, "text", vocabK = 3))
+    assert(oov.contains("BroadcastHashJoin"),
+      s"vocabulary must broadcast into the scoring join:\n$oov")
+    assert(!oov.contains("CartesianProduct"))
+    val dec = formatted(graft.ops.TextAnalysis.decontaminate(
+      docs, "text", col("doc_id") % 10 === 0, n = 2))
+    assert(dec.contains("BroadcastHashJoin"),
+      s"eval grams must broadcast into the training scan:\n$dec")
+    assert(!dec.contains("CartesianProduct"))
+  }
+
   test("ta_vocab top-k is two-phase: partition-local prune before the per-lang window") {
     import spark.implicits._
     val docs = Seq(("en", "a b c"), ("fr", "a a b")).toDF("lang", "text")
