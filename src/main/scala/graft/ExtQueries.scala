@@ -981,6 +981,58 @@ SELECT user_id, ${funnelStages.map(s => s"t_${s}_us").mkString(", ")},
 FROM s0 $joins"""
   }
 
+  /** Day-granular cohort retention over the event stream (signup cohorts;
+    * the 30-day synthetic stream yields a dense cohort × offset matrix).
+    */
+  def evRetention(spark: SparkSession, dir: String): DataFrame =
+    Events.retention(table(spark, dir, "events"))
+
+  private val evRetentionSql =
+    """WITH d AS (
+  SELECT user_id, ts::DATE AS day, event_type FROM events),
+c AS (
+  SELECT user_id, min(CASE WHEN event_type = 'signup' THEN day END) AS cohort_day
+  FROM d GROUP BY 1),
+a AS (
+  SELECT DISTINCT d.user_id, c.cohort_day,
+    date_diff('day', c.cohort_day, d.day) AS day_offset
+  FROM d JOIN c USING (user_id)
+  WHERE c.cohort_day IS NOT NULL AND d.day >= c.cohort_day)
+SELECT cohort_day, CAST(day_offset AS INT) AS day_offset, count(*) AS n_users
+FROM a GROUP BY 1, 2"""
+
+  /** PII detection/redaction end-to-end gate. The driver tables are
+    * PII-free by construction, so the query runs over the deterministic
+    * PiiGen corpus (dumped once as a parquet side table, same policy as the
+    * multimodal generators) and the oracle re-runs the IDENTICAL pattern
+    * strings in DuckDB — Java regex vs RE2 must agree on every match
+    * boundary and every replacement for the hash to survive.
+    */
+  val piiN = 400L
+  val piiSeed = 17L
+  val piiDocsPath = s"/tmp/graft_pii_docs_n${piiN}_s${piiSeed}_v1"
+
+  def taPii(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.gen.PiiGen.generate(spark, piiN, seed = piiSeed).toDF()
+    ensureSideTable(piiDocsPath)(docs)
+    TextAnalysis.piiScan(docs, "text")
+  }
+
+  private val taPiiSql = {
+    val e = TextAnalysis.emailRe
+    val p = TextAnalysis.phoneRe
+    val ip = TextAnalysis.ipRe
+    s"""SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '$e')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g'), '$ip', '<IP>', 'g') AS redacted,
+  (len(regexp_extract_all(text, '$e')) + len(regexp_extract_all(text, '$p'))
+    + len(regexp_extract_all(text, '$ip'))) > 0 AS has_pii
+FROM read_parquet('$piiDocsPath/*.parquet')"""
+  }
+
   /** Corpus-derived OOV scoring: per-language top-`oovVocabK` vocabulary,
     * then per-document out-of-vocabulary token fraction (broadcast dict,
     * map-side scoring).
@@ -1055,7 +1107,9 @@ SELECT doc_id, n_grams, n_contaminated, n_contaminated > 0 AS contaminated FROM 
     "ev_props" -> (evProps _),
     "ev_asof" -> (evAsof _),
     "ev_funnel" -> (evFunnel _),
+    "ev_retention" -> (evRetention _),
     "ta_oov" -> (taOov _),
+    "ta_pii" -> (taPii _),
     "dd_decontam" -> (ddDecontam _),
     "sim_collection" -> (simCollection _),
     "classify_rules" -> (classifyRules _),
@@ -1090,7 +1144,9 @@ SELECT doc_id, n_grams, n_contaminated, n_contaminated > 0 AS contaminated FROM 
     "ev_props" -> evPropsSql,
     "ev_asof" -> evAsofSql,
     "ev_funnel" -> evFunnelSql,
+    "ev_retention" -> evRetentionSql,
     "ta_oov" -> taOovSql,
+    "ta_pii" -> taPiiSql,
     "dd_decontam" -> ddDecontamSql,
     "sim_collection" -> simCollectionSql,
     "classify_rules" -> classifyRulesSql,

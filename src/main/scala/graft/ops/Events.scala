@@ -118,6 +118,32 @@ object Events {
       .withColumn("stage_depth", depth.cast("int"))
   }
 
+  /** Cohort retention: users grouped by the DAY of their first `cohortType`
+    * event, counted once per day-offset at which they were active on or
+    * after that day. The classic retention-curve input
+    * (cohort_day × day_offset × n_users).
+    *
+    * Shape at scale: ONE hash-partition on user_id drives both the
+    * first-event window and the per-user (cohort_day, day_offset) distinct
+    * — the distinct's grouping keys include user_id, so the window's
+    * partitioning already clusters them and Spark plans no second
+    * exchange; only the final small rollup (days × offsets rows) shuffles
+    * again. No self-join, no per-day scan.
+    */
+  def retention(events: DataFrame, cohortType: String = "signup"): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    events
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+      .withColumn("cohort_day",
+        min(when(col("event_type") === cohortType, col("day"))).over(byUser))
+      .where(col("cohort_day").isNotNull && col("day") >= col("cohort_day"))
+      .select(col("user_id"), col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Per-event-type rollup over the extracted JSON field: classic
     * partial-aggregate shape (map-side combine on the handful of event
     * types, one tiny shuffle). All aggregates are order-independent

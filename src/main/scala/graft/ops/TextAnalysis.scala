@@ -210,6 +210,42 @@ object TextAnalysis {
       .withColumn("contaminated", col("n_contaminated") > 0)
   }
 
+  /** PII detection patterns, shared verbatim with the DuckDB oracle (both
+    * engines run them: Java regex here, RE2 there — the ta_pii hash gate IS
+    * the cross-engine parity proof). Character classes and bounded
+    * quantifiers only: no backreferences, no lookaround (RE2 has neither),
+    * no `\d`-style shorthands (Unicode semantics differ across engines).
+    */
+  val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,6}"
+  val phoneRe = "\\+[0-9]{1,2} [0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val ipRe = "(?:[0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** PII scan + redaction: per-document counts of email/phone/IPv4 matches
+    * and the text with each class replaced by a typed placeholder. A
+    * training corpus must drop or redact PII before anything else sees it,
+    * so this is a front-of-pipeline, row-local map — codegen'd regex
+    * expressions, zero exchanges at any scale, composable with scan
+    * pruning. Redaction replaces emails, then phones, then IPs (order is
+    * part of the contract — the classes cannot overlap by construction of
+    * the patterns, but the oracle mirrors the order anyway).
+    */
+  def piiScan(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipRe, "<IP>")
+    docs.select(
+      col("doc_id"),
+      regexp_count(t, lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(t, lit(phoneRe)).cast("long").as("n_phones"),
+      regexp_count(t, lit(ipRe)).cast("long").as("n_ips"),
+      redacted.as("redacted"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_phones") + col("n_ips") > 0)
+  }
+
   /** Document fingerprints: full-content hash60 of the normalized text plus
     * a winnowing-style min-shingle fingerprint (min over k-gram hash60s) —
     * containment-robust near-exact dedup keys.

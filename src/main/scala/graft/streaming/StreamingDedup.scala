@@ -108,6 +108,29 @@ object StreamingDedup {
         })
   }
 
+  /** Streaming gap-based sessionization via the native `session_window`
+    * (declarative merge-on-overlap session state — no hand-rolled
+    * flatMapGroupsWithState): one row per (user, session) once the
+    * watermark closes the session. The streaming twin of
+    * `graft.ops.Events.sessionize`, with one boundary difference: a gap of
+    * EXACTLY `gap` starts a new session here (session windows merge on
+    * overlap, `[ts, ts+gap)`), while the batch form's strictly-greater
+    * test keeps it — the e2e spec pins both behaviors away from the
+    * boundary.
+    */
+  def sessionCounts(events: DataFrame, tsCol: String, userCol: String,
+                    gap: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(userCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col(userCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   /** Watermarked tumbling-window counts per event type — the standard
     * streaming aggregation shape (late data beyond the watermark dropped).
     */

@@ -674,6 +674,61 @@ class OpsSpec extends AnyFunSuite {
     assert(m(4L).getLong(2) == 3 && m(4L).getLong(3) == 0)
   }
 
+  test("retention: first-cohort day, once-per-offset counting, pre-signup activity excluded") {
+    import spark.implicits._
+    def ts(day: Int, h: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-01-${day}%02d $h%02d:00:00")
+    val ev = Seq(
+      // user 1: signs up day 2, active day 2 (twice) and day 4
+      (ts(2), 1L, "signup"), (ts(2, 5), 1L, "view"), (ts(4), 1L, "click"),
+      // user 2: active day 1 BEFORE signing up day 3; active again day 4
+      (ts(1), 2L, "view"), (ts(3), 2L, "signup"), (ts(4), 2L, "purchase"),
+      // user 3: never signs up -> absent
+      (ts(2), 3L, "view"),
+      // user 4: two signups -> cohort is the FIRST (day 2); day-3 activity
+      (ts(2), 4L, "signup"), (ts(3), 4L, "signup"), (ts(3, 9), 4L, "view"))
+      .toDF("ts", "user_id", "event_type")
+    val got = graft.ops.Events.retention(ev)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("2024-01-02", 0) -> 2L,  // users 1 and 4 on their signup day
+      ("2024-01-02", 1) -> 1L,  // user 4 day 3 (deduped across 2 events)
+      ("2024-01-02", 2) -> 1L,  // user 1 day 4
+      ("2024-01-03", 0) -> 1L,  // user 2 signup day (day-1 view ignored)
+      ("2024-01-03", 1) -> 1L)) // user 2 day 4
+  }
+
+  test("piiScan: counts and redaction on hand-built strings; PiiGen round-trips") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "reach me at jo.doe7@ymail.example.com or +1 212-555-0187 thanks"),
+      (2L, "server 192.0.2.45 and 192.0.2.200 rebooted"),
+      (3L, "no sensitive content here"),
+      (4L, "two mails a.b@cmail.example.com x9@dmail.example.com one ip 192.0.2.1"))
+      .toDF("doc_id", "text")
+    val m = graft.ops.TextAnalysis.piiScan(docs, "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getLong(1) == 1 && m(1L).getLong(2) == 1 && m(1L).getLong(3) == 0)
+    assert(m(1L).getString(4) == "reach me at <EMAIL> or <PHONE> thanks")
+    assert(m(1L).getBoolean(5))
+    assert(m(2L).getLong(3) == 2 &&
+      m(2L).getString(4) == "server <IP> and <IP> rebooted")
+    assert(m(3L).getLong(1) == 0 && m(3L).getLong(2) == 0 && m(3L).getLong(3) == 0 &&
+      !m(3L).getBoolean(5) && m(3L).getString(4) == "no sensitive content here")
+    assert(m(4L).getLong(1) == 2 && m(4L).getLong(3) == 1)
+
+    // the generator's intent must be recovered exactly by the scan
+    val gen = graft.gen.PiiGen.generate(spark, 200L, seed = 17L).toDF()
+    val scanned = graft.ops.TextAnalysis.piiScan(gen, "text")
+    val tot = scanned.agg(sum("n_emails"), sum("n_phones"), sum("n_ips"),
+      sum(when(col("has_pii"), 1).otherwise(0))).head()
+    assert(tot.getLong(0) > 0 && tot.getLong(1) > 0 && tot.getLong(2) > 0)
+    assert(tot.getLong(3) < 200, "some documents must be PII-free")
+    assert(!scanned.where(col("redacted").rlike("@|[0-9]{3}-555")).head(1).nonEmpty,
+      "redacted text must contain no residual emails or phone cores")
+  }
+
   test("decontaminate: distinct-gram counts, short-doc whole-text gram, eval excluded") {
     import spark.implicits._
     val docs = Seq(

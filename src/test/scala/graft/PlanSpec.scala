@@ -239,6 +239,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"window form must plan no joins:\n$plan")
   }
 
+  test("retention plans two exchanges: user_id window feeds the distinct, then the rollup") {
+    import spark.implicits._
+    val ev = (0L until 200L)
+      .map(i => (new java.sql.Timestamp(86400000L * (i % 9)), i % 20,
+        if (i % 4 == 0) "signup" else "view"))
+      .toDF("ts", "user_id", "event_type")
+    val plan = formatted(graft.ops.Events.retention(ev))
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains(") Exchange") || l.trim.startsWith("Exchange"))
+    assert(exchanges == 2,
+      s"distinct must reuse the window's user_id partitioning, got $exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"window form must plan no joins:\n$plan")
+  }
+
+  test("ta_pii is a shuffle-free codegen'd row map") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pii").toString
+    graft.gen.PiiGen.generate(spark, 50L, seed = 17L).toDF()
+      .write.mode("overwrite").parquet(dir)
+    val plan = formatted(graft.ops.TextAnalysis.piiScan(spark.read.parquet(dir), "text"))
+    assert(!plan.contains("Exchange"), s"PII scan must not shuffle:\n$plan")
+    assert(plan.contains("[codegen id :") || plan.contains("WholeStageCodegen"),
+      s"regex scan must run inside whole-stage codegen:\n$plan")
+  }
+
   test("ta_oov scores via a broadcast dictionary; dd_decontam via broadcast eval grams") {
     import spark.implicits._
     val docs = (0L until 50L)

@@ -174,6 +174,49 @@ class ResumeStreamSpec extends AnyFunSuite {
     assert(got.count(_._1 == "a") == 2, s"exactly first + post-expiry emits: $got")
   }
 
+  test("streaming: session_window sessionization closes sessions at the watermark " +
+    "and matches the batch sessionizer's grouping") {
+    import spark.implicits._
+    val dir = tmpDir("graft-stream-sess")
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // user 1: one 3-event session then a second session past the 30 min gap;
+    // user 2: a singleton session
+    val rows = Seq(
+      (1L, ts(0), 1.0), (1L, ts(100), 2.0), (1L, ts(200), 4.0),
+      (1L, ts(4000), 8.0),
+      (2L, ts(50), 16.0))
+    rows.toDF("user_id", "ts", "value")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema("user_id long, ts timestamp, value double")
+      .parquet(dir)
+    val q = StreamingDedup.sessionCounts(stream, "ts", "user_id", watermark = "0 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("sess")
+      .start()
+    q.processAllAvailable()
+    // sentinel event far in the future: pushes the watermark past every
+    // real session's end so append mode emits them as CLOSED
+    Seq((99L, ts(100000), 0.0)).toDF("user_id", "ts", "value")
+      .coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sess").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got == Set(
+      (1L, 0L, 3L, 7.0),     // [0, 200+1800): three events
+      (1L, 4000L, 1L, 8.0),  // new session after the gap
+      (2L, 50L, 1L, 16.0)), s"got $got") // sentinel session still open -> absent
+
+    // same grouping as the batch sessionizer on the same (non-sentinel) rows
+    val batch = graft.ops.Events.sessionize(
+      rows.zipWithIndex.map { case ((u, t, v), i) => (i.toLong, t, u, v) }
+        .toDF("event_id", "ts", "user_id", "value"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet // (user, n_events)
+    assert(batch == Set((1L, 3L), (1L, 1L), (2L, 1L)))
+  }
+
   test("streaming: watermarked windowed aggregation over the events table") {
     val dir = tmpDir("graft-stream-ev")
     spark.read.parquet("/root/testdata/sf0.001/events.parquet")
