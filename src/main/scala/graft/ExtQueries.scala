@@ -1033,6 +1033,47 @@ FROM a GROUP BY 1, 2"""
 FROM read_parquet('$piiDocsPath/*.parquet')"""
   }
 
+  /** URL-level dedup end-to-end gate over the deterministic UrlGen table
+    * (planted variant groups: case noise, www., tracking params, fragments,
+    * trailing slashes — and canonically-distinct decoys). The oracle
+    * re-canonicalizes from scratch in SQL, so every normalization step must
+    * agree bytewise across both engines.
+    */
+  val urlN = 400L
+  val urlSeed = 23L
+  val urlDocsPath = s"/tmp/graft_url_docs_n${urlN}_s${urlSeed}_v1"
+
+  def ddUrl(spark: SparkSession, dir: String): DataFrame = {
+    val urls = graft.gen.UrlGen.generate(spark, urlN, seed = urlSeed).toDF()
+      .select(col("url_id"), col("url"))
+    ensureSideTable(urlDocsPath)(urls)
+    graft.ops.Urls.dedup(urls, "url", "url_id")
+  }
+
+  private val ddUrlSql =
+    s"""WITH u AS (
+  SELECT url_id, regexp_replace(url, '#.*', '') AS nf
+  FROM read_parquet('$urlDocsPath/*.parquet')),
+p AS (
+  SELECT url_id,
+    CASE WHEN strpos(nf, '?') > 0 THEN substr(nf, 1, strpos(nf, '?') - 1) ELSE nf END AS pre,
+    CASE WHEN strpos(nf, '?') > 0 THEN substr(nf, strpos(nf, '?') + 1) ELSE '' END AS q
+  FROM u),
+c AS (
+  SELECT url_id,
+    lower(split_part(pre, '://', 1)) || '://' ||
+    regexp_replace(lower(split_part(split_part(pre, '://', 2), '/', 1)), '^www\\.', '') ||
+    regexp_replace(substr(split_part(pre, '://', 2),
+      length(split_part(split_part(pre, '://', 2), '/', 1)) + 1), '/$$', '') ||
+    CASE WHEN qq = '' THEN '' ELSE '?' || qq END AS canonical_url
+  FROM (
+    SELECT url_id, pre,
+      array_to_string(list_sort(list_filter(string_split(q, '&'),
+        x -> NOT (starts_with(x, 'utm_') OR starts_with(x, 'sessionid=') OR x = ''))), '&') AS qq
+    FROM p))
+SELECT canonical_url, count(*) AS n_urls, min(url_id) AS rep_id
+FROM c GROUP BY 1"""
+
   /** Corpus-derived OOV scoring: per-language top-`oovVocabK` vocabulary,
     * then per-document out-of-vocabulary token fraction (broadcast dict,
     * map-side scoring).
@@ -1111,6 +1152,7 @@ SELECT doc_id, n_grams, n_contaminated, n_contaminated > 0 AS contaminated FROM 
     "ta_oov" -> (taOov _),
     "ta_pii" -> (taPii _),
     "dd_decontam" -> (ddDecontam _),
+    "dd_url" -> (ddUrl _),
     "sim_collection" -> (simCollection _),
     "classify_rules" -> (classifyRules _),
     "fuse_canonical" -> (fuseCanonical _),
@@ -1148,6 +1190,7 @@ SELECT doc_id, n_grams, n_contaminated, n_contaminated > 0 AS contaminated FROM 
     "ta_oov" -> taOovSql,
     "ta_pii" -> taPiiSql,
     "dd_decontam" -> ddDecontamSql,
+    "dd_url" -> ddUrlSql,
     "sim_collection" -> simCollectionSql,
     "classify_rules" -> classifyRulesSql,
     "fuse_canonical" -> fuseCanonicalSql,

@@ -729,6 +729,38 @@ class OpsSpec extends AnyFunSuite {
       "redacted text must contain no residual emails or phone cores")
   }
 
+  test("URL canonicalize: hand cases; UrlGen variants collapse to gold, decoys don't") {
+    import spark.implicits._
+    val cases = Seq(
+      // case + www + fragment + trailing slash + junk params + param order
+      ("HTTPS://WWW.Alpha.Example.COM/News/Story/7/?page=2&utm_source=x&lang=en#top",
+        "https://alpha.example.com/News/Story/7?lang=en&page=2"),
+      ("http://beta.example.org/docs", "http://beta.example.org/docs"),
+      // all params junk -> no query part at all
+      ("https://a.example.com/p?utm_a=1&sessionid=99", "https://a.example.com/p"),
+      // no path at all
+      ("https://WWW.c.Example.org?b=2&a=1", "https://c.example.org?a=1&b=2"))
+      .toDF("url", "want")
+    val got = cases.select(graft.ops.Urls.canonicalize(col("url")).as("got"), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"got ${r.getString(0)}, want ${r.getString(1)}"))
+
+    // generator round-trip: every row canonicalizes to its gold form
+    val gen = graft.gen.UrlGen.generate(spark, 200L, seed = 23L).toDF()
+    val bad = gen.where(graft.ops.Urls.canonicalize(col("url")) =!= col("gold_canonical"))
+      .select(col("url"), col("gold_canonical"),
+        graft.ops.Urls.canonicalize(col("url")).as("got"))
+      .head(3)
+    assert(bad.isEmpty, s"canonicalize must recover gold: ${bad.mkString("; ")}")
+    // group structure: base + 2 variants collapse (n=3), decoy stands alone
+    val sizes = graft.ops.Urls.dedup(gen.select(col("url_id"), col("url")), "url", "url_id")
+      .groupBy(col("n_urls")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.getOrElse(3L, 0L) >= 45, s"~50 collapsed triples expected: $sizes")
+    assert(sizes.getOrElse(1L, 0L) >= 45, s"~50 singleton decoys expected: $sizes")
+  }
+
   test("decontaminate: distinct-gram counts, short-doc whole-text gram, eval excluded") {
     import spark.implicits._
     val docs = Seq(

@@ -264,6 +264,19 @@ class PlanSpec extends AnyFunSuite {
       s"regex scan must run inside whole-stage codegen:\n$plan")
   }
 
+  test("dd_url plans one exchange: row-local canonicalize, partial-agg dedup") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-url").toString
+    graft.gen.UrlGen.generate(spark, 50L, seed = 23L).toDF()
+      .select(col("url_id"), col("url"))
+      .write.mode("overwrite").parquet(dir)
+    val plan = formatted(graft.ops.Urls.dedup(spark.read.parquet(dir), "url", "url_id"))
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains(") Exchange") || l.trim.startsWith("Exchange"))
+    assert(exchanges == 1, s"canonicalize must stay map-side, got $exchanges:\n$plan")
+    assert(plan.contains("[codegen id :") || plan.contains("WholeStageCodegen"))
+  }
+
   test("ta_oov scores via a broadcast dictionary; dd_decontam via broadcast eval grams") {
     import spark.implicits._
     val docs = (0L until 50L)
