@@ -712,7 +712,7 @@ FROM s GROUP BY 1, 2"""
   val mmImageN = 400L;  val mmImageSeed = 7L
   val mmVideoN = 300L;  val mmVideoSeed = 11L
   val mmAudioN = 300L;  val mmAudioSeed = 13L
-  val mmMetaPath = s"/tmp/graft_mm_meta_n${mmImageN}_s${mmImageSeed}_v2"
+  val mmMetaPath = s"/tmp/graft_mm_meta_n${mmImageN}_s${mmImageSeed}_v3"
   val mmVideoMetaPath = s"/tmp/graft_video_meta_n${mmVideoN}_s${mmVideoSeed}_v1"
   val mmAudioMetaPath = s"/tmp/graft_audio_meta_n${mmAudioN}_s${mmAudioSeed}_v1"
 
@@ -742,8 +742,9 @@ FROM s GROUP BY 1, 2"""
       import spark.implicits._
       gen.map { r =>
         val (w, h, px) = graft.gen.ImageGen.decode(r.bytes)
-        (r.image_id, r.fmt, r.w, r.h, graft.ops.PHash.dctHash64(px, w, h))
-      }.toDF("image_id", "fmt", "w", "h", "phash_dct")
+        (r.image_id, r.fmt, r.w, r.h, graft.ops.PHash.dctHash64(px, w, h),
+          graft.ops.PHash.dHash64(px, w, h), graft.ops.PHash.pixelSha(px, w, h))
+      }.toDF("image_id", "fmt", "w", "h", "phash_dct", "dhash_grad", "pixel_sha")
     }
 
   def mmStats(spark: SparkSession, dir: String): DataFrame = {
@@ -775,21 +776,88 @@ FROM read_parquet('$mmMetaPath/*.parquet') GROUP BY fmt"""
   val mmPhashBlocks = 8
   val mmHammingT: Int = mmPhashBlocks - 1
 
-  def mmPhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** Memoized decode-feature stage shared by every image query: the binary
+    * column is consumed once, only (id, hashes, sha) rows persist.
+    */
+  private def mmFeats(spark: SparkSession, dir: String): DataFrame = {
     val gen = graft.gen.ImageGen.generate(spark, mmImageN, seed = mmImageSeed, partitions = 8)
     ensureMmMeta(gen)
-    val feats = QueryCache.memo(spark, "mm_phash_feats", dir) {
+    QueryCache.memo(spark, "mm_feats", dir) {
       Multimodal.decodeFeatures(graft.gen.ImageGen.asImages(gen).toDF())
-        .select(col("image_id").as("id"), col("phash_dct"))
+        .select(col("image_id").as("id"), col("phash_dct"), col("dhash_grad"),
+          col("pixel_sha"))
     }
-    val cands = Blocking.bitBlockPairs(feats, "id", "phash_dct", mmPhashBlocks, 64)
+  }
+
+  /** Blocked + Hamming-verified near-dup pairs on one 64-bit hash column. */
+  private def hashPairs(feats: DataFrame, hashCol: String): DataFrame = {
+    val cands = Blocking.bitBlockPairs(feats, "id", hashCol, mmPhashBlocks, 64)
     cands
-      .join(feats.select(col("id").as("id1"), col("phash_dct").as("ph1")), "id1")
-      .join(feats.select(col("id").as("id2"), col("phash_dct").as("ph2")), "id2")
+      .join(feats.select(col("id").as("id1"), col(hashCol).as("ph1")), "id1")
+      .join(feats.select(col("id").as("id2"), col(hashCol).as("ph2")), "id2")
       .select(col("id1"), col("id2"),
         bit_count(col("ph1").bitwiseXOR(col("ph2"))).cast("int").as("hd"))
       .where(col("hd") <= mmHammingT)
   }
+
+  def mmPhashPairs(spark: SparkSession, dir: String): DataFrame =
+    QueryCache.memo(spark, "mm_phash_pairs", dir) {
+      hashPairs(mmFeats(spark, dir), "phash_dct")
+    }
+
+  /** Gradient-hash (dHash) near-dup pairs — the complementary perceptual
+    * geometry to mm_phash_pairs (see [[graft.ops.PHash.dHash64]]); same
+    * lossless pigeonhole blocking, same all-pairs Hamming oracle.
+    */
+  def mmDhashPairs(spark: SparkSession, dir: String): DataFrame =
+    hashPairs(mmFeats(spark, dir), "dhash_grad")
+
+  /** Exact image dedup on the decoded-pixel content key (the image analog
+    * of dd_exact): collapses byte-identical copies AND lossless re-encodes.
+    * The oracle groups the side table's independently-derived pixel_sha, so
+    * the hash only matches if the distributed groupBy reproduces the
+    * planted copy structure exactly — and the sha strings themselves match.
+    */
+  def mmExact(spark: SparkSession, dir: String): DataFrame = {
+    val gen = graft.gen.ImageGen.generate(spark, mmImageN, seed = mmImageSeed, partitions = 8)
+    ensureMmMeta(gen)
+    Multimodal.exactPixelDedup(
+      Multimodal.decodeFeatures(graft.gen.ImageGen.asImages(gen).toDF()))
+  }
+
+  private val mmExactSql =
+    s"""SELECT pixel_sha, count(*) AS n_copies, min(image_id) AS rep_id
+FROM read_parquet('$mmMetaPath/*.parquet') GROUP BY 1"""
+
+  /** End-to-end image dedup: pHash near-dup pairs -> distributed connected
+    * components -> (image_id, cluster_id = min member), singletons mapping
+    * to themselves — keep-one-per-cluster is then a groupBy(cluster_id).
+    * The oracle recomputes the transitive closure from scratch (recursive
+    * CTE over the all-pairs Hamming edge set), so blocking, verification
+    * AND the large-star/small-star fixpoint must all agree exactly.
+    */
+  def mmDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val feats = mmFeats(spark, dir)
+    val pairs = mmPhashPairs(spark, dir).select(col("id1"), col("id2"))
+    graft.cluster.ConnectedComponents.assignAll(feats, "id", pairs)
+      .select(col("id").as("image_id"), col("cluster_id"))
+  }
+
+  private val mmDedupClustersSql =
+    s"""WITH RECURSIVE m AS (
+  SELECT image_id, phash_dct FROM read_parquet('$mmMetaPath/*.parquet')),
+pairs AS (
+  SELECT a.image_id AS id1, b.image_id AS id2
+  FROM m a JOIN m b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash_dct, b.phash_dct)) <= $mmHammingT),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION ALL SELECT id2, id1 FROM pairs),
+reach(n, r) AS (
+  SELECT image_id, image_id FROM m
+  UNION
+  SELECT reach.n, e.b FROM reach JOIN edges e ON e.a = reach.r)
+SELECT n AS image_id, min(r) AS cluster_id FROM reach GROUP BY 1"""
 
   /** Frame sampling end-to-end gate: the query demuxes the binary video
     * column and sums sampled frames' bytes; the oracle reads the
@@ -838,6 +906,13 @@ FROM read_parquet('$mmMetaPath/*.parquet') a
 JOIN read_parquet('$mmMetaPath/*.parquet') b ON a.image_id < b.image_id
 WHERE bit_count(xor(a.phash_dct, b.phash_dct)) <= $mmHammingT"""
 
+  private val mmDhashPairsSql =
+    s"""SELECT a.image_id AS id1, b.image_id AS id2,
+  CAST(bit_count(xor(a.dhash_grad, b.dhash_grad)) AS INT) AS hd
+FROM read_parquet('$mmMetaPath/*.parquet') a
+JOIN read_parquet('$mmMetaPath/*.parquet') b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.dhash_grad, b.dhash_grad)) <= $mmHammingT"""
+
   // ----------------------------------------------- sampling / json / vocab
 
   /** Stratified keep-rates (buckets of 100) for the deterministic sampler:
@@ -865,6 +940,35 @@ WHERE bit_count(xor(a.phash_dct, b.phash_dct)) <= $mmHammingT"""
   FROM documents)
 SELECT doc_id, lang, bucket FROM b WHERE bucket < ($rate)"""
   }
+
+  /** Concat-then-chunk sequence packing over the documents table (see
+    * [[graft.ops.Packing.packChunks]]): whitespace token counts, context
+    * length 2048. The oracle is the naive single-window global prefix sum —
+    * the distributed two-phase scan must reproduce it bit for bit.
+    */
+  val packCapacity = 2048L
+
+  def dsPack(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.packChunks(
+      table(spark, dir, "documents"),
+      "doc_id", size(split(trim(col("text")), "\\s+")), packCapacity)
+
+  private val dsPackSql =
+    s"""WITH t AS (
+  SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tok,
+    CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+  FROM t)
+SELECT doc_id, n_tok,
+  CAST(cum_before // $packCapacity AS BIGINT) AS first_chunk,
+  CAST(cum_before % $packCapacity AS BIGINT) AS chunk_offset,
+  CAST((cum_before + greatest(n_tok, 1) - 1) // $packCapacity AS BIGINT) AS last_chunk,
+  CAST((cum_before + greatest(n_tok, 1) - 1) // $packCapacity
+    - cum_before // $packCapacity + 1 AS BIGINT) AS n_chunks
+FROM c"""
 
   /** Semi-structured JSON extraction + rollup over the event stream
     * (codegen'd `get_json_object`, order-independent aggregates only).
@@ -1153,6 +1257,7 @@ SELECT doc_id, n_grams, n_contaminated, n_contaminated > 0 AS contaminated FROM 
     "ta_pii" -> (taPii _),
     "dd_decontam" -> (ddDecontam _),
     "dd_url" -> (ddUrl _),
+    "ds_pack" -> (dsPack _),
     "sim_collection" -> (simCollection _),
     "classify_rules" -> (classifyRules _),
     "fuse_canonical" -> (fuseCanonical _),
@@ -1165,6 +1270,9 @@ SELECT doc_id, n_grams, n_contaminated, n_contaminated > 0 AS contaminated FROM 
     "dedup_lastwins" -> (dedupLastwins _),
     "mm_stats" -> (mmStats _),
     "mm_phash_pairs" -> (mmPhashPairs _),
+    "mm_dhash_pairs" -> (mmDhashPairs _),
+    "mm_exact" -> (mmExact _),
+    "mm_dedup_clusters" -> (mmDedupClusters _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_audio_features" -> (mmAudioFeatures _))
 
@@ -1191,6 +1299,7 @@ SELECT doc_id, n_grams, n_contaminated, n_contaminated > 0 AS contaminated FROM 
     "ta_pii" -> taPiiSql,
     "dd_decontam" -> ddDecontamSql,
     "dd_url" -> ddUrlSql,
+    "ds_pack" -> dsPackSql,
     "sim_collection" -> simCollectionSql,
     "classify_rules" -> classifyRulesSql,
     "fuse_canonical" -> fuseCanonicalSql,
@@ -1201,6 +1310,9 @@ SELECT doc_id, n_grams, n_contaminated, n_contaminated > 0 AS contaminated FROM 
     "ev_sessionize" -> evSessionizeSql,
     "mm_stats" -> mmStatsSql,
     "mm_phash_pairs" -> mmPhashPairsSql,
+    "mm_dhash_pairs" -> mmDhashPairsSql,
+    "mm_exact" -> mmExactSql,
+    "mm_dedup_clusters" -> mmDedupClustersSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_audio_features" -> mmAudioFeaturesSql,
     "refine_clusters" -> (s"""WITH RECURSIVE ${OracleGen.nrmCte},

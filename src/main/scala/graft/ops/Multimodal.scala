@@ -19,7 +19,8 @@ object Multimodal {
   final case class ImageFeatures(
       image_id: String, fmt: String, w: Int, h: Int,
       decode_ok: Boolean, mean_luma: Double, phash64: Long,
-      phash_dct: Long, thumb8: Array[Byte])
+      phash_dct: Long, dhash_grad: Long, pixel_sha: String,
+      thumb8: Array[Byte])
 
   /** Decode + per-image features. Input needs (image_id, bytes, fmt). */
   def decodeFeatures(images: DataFrame): Dataset[ImageFeatures] = {
@@ -57,12 +58,13 @@ object Multimodal {
             var c = 0
             while (c < 64) { thumb(c) = (cell(c) / math.max(cnt(c), 1)).toByte; c += 1 }
             ImageFeatures(id, fmt, w, h, decode_ok = true, luma / px.length,
-              ImageGen.averageHash(px, w, h), PHash.dctHash64(px, w, h), thumb)
+              ImageGen.averageHash(px, w, h), PHash.dctHash64(px, w, h),
+              PHash.dHash64(px, w, h), PHash.pixelSha(px, w, h), thumb)
           } catch {
             // NonFatal + IOException only: swallowing OOM/fatal errors as
             // "decode failed" rows would hide real executor trouble
             case e if scala.util.control.NonFatal(e) =>
-              ImageFeatures(id, fmt, -1, -1, decode_ok = false, 0.0, 0L, 0L, Array.empty)
+              ImageFeatures(id, fmt, -1, -1, decode_ok = false, 0.0, 0L, 0L, 0L, "", Array.empty)
           }
         }
       }
@@ -159,6 +161,21 @@ object Multimodal {
         }
       }
   }
+
+  /** Exact image deduplication by decoded-pixel content key: one row per
+    * distinct pixel content, with the copy count and the minimum image_id
+    * as the deterministic representative. The image analog of dd_exact —
+    * but keyed on [[PHash.pixelSha]] of the DECODED pixels, so lossless
+    * re-encodes (png <-> bmp) collapse too, which byte-hashing misses.
+    *
+    * 100 TB shape: the sha is computed in the decode scan stage (features
+    * already carry it), so the only shuffle is a partial-aggregated
+    * groupBy on a 64-char key — the multi-TB binary column never moves.
+    */
+  def exactPixelDedup(feats: Dataset[ImageFeatures]): DataFrame =
+    feats.toDF().where(col("decode_ok"))
+      .groupBy(col("pixel_sha"))
+      .agg(count(lit(1)).as("n_copies"), min(col("image_id")).as("rep_id"))
 
   /** Aggregate decode statistics per format — the pipeline health check. */
   def formatStats(feats: Dataset[ImageFeatures]): DataFrame =

@@ -31,6 +31,76 @@ object PHash {
   private val basis: Array[Array[Double]] =
     Array.tabulate(8, N)((u, x) => math.cos((2 * x + 1) * u * math.Pi / (2.0 * N)))
 
+  /** Difference hash (dHash, Krawetz 2013 "Kind of Like That"): box-
+    * downsample the grayscale image to a 9x8 grid and set bit (y*8+x) iff
+    * the cell right of (x,y) is brighter than (x,y) — 8 horizontal
+    * gradient signs per row, 64 bits total.
+    *
+    * It complements [[dctHash64]]: dHash keys on the SIGN of local spatial
+    * gradients (robust to global luma/contrast changes, sensitive to
+    * content rearrangement), pHash on low-frequency spectral energy
+    * (robust to requantization/blur). Real pipelines run both and union
+    * the candidate pairs — different near-duplicate geometries survive
+    * different hashes. Same decode-stage cost profile: O(w*h) downsample
+    * computed inside the scan's mapPartitions batch, nothing extra
+    * shuffles.
+    */
+  def dHash64(px: Array[Int], w: Int, h: Int): Long = {
+    val cols = 9; val rows = 8
+    val cell = new Array[Double](cols * rows)
+    val cnt = new Array[Int](cols * rows)
+    var y = 0
+    while (y < h) {
+      val cy = y * rows / h
+      var x = 0
+      while (x < w) {
+        val p = px(y * w + x)
+        val gray = 0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) + 0.114 * (p & 0xFF)
+        val c = cy * cols + (x * cols / w)
+        cell(c) += gray; cnt(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    while (i < cols * rows) { if (cnt(i) > 0) cell(i) /= cnt(i); i += 1 }
+    var out = 0L
+    var cy = 0
+    while (cy < rows) {
+      var cx = 0
+      while (cx < cols - 1) {
+        if (cell(cy * cols + cx + 1) > cell(cy * cols + cx))
+          out |= (1L << (cy * 8 + cx))
+        cx += 1
+      }
+      cy += 1
+    }
+    out
+  }
+
+  /** Canonical content key of DECODED pixels: SHA-256 over (w, h, packed
+    * 24-bit RGB rows) as lowercase hex. Two images get the same key iff
+    * they decode to identical pixels — so it collapses exact copies AND
+    * lossless re-encodes (png <-> bmp of the same pixels), which byte-level
+    * hashing misses, while never collapsing lossy re-encodes.
+    */
+  def pixelSha(px: Array[Int], w: Int, h: Int): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hdr = java.nio.ByteBuffer.allocate(8).putInt(w).putInt(h).array()
+    md.update(hdr)
+    val buf = new Array[Byte](px.length * 3)
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      buf(3 * i) = ((p >> 16) & 0xFF).toByte
+      buf(3 * i + 1) = ((p >> 8) & 0xFF).toByte
+      buf(3 * i + 2) = (p & 0xFF).toByte
+      i += 1
+    }
+    md.update(buf)
+    md.digest().map(b => f"$b%02x").mkString
+  }
+
   def dctHash64(px: Array[Int], w: Int, h: Int): Long = {
     // 1. grayscale box-downsample to 32x32 (same cell mapping as the
     //    8x8 average-hash, at 32x32 resolution)

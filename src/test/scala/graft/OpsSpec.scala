@@ -466,6 +466,90 @@ class OpsSpec extends AnyFunSuite {
     assert(cands.contains(("c", "d")), "hd=1 pair must be captured")
   }
 
+  test("packChunks: two-phase scan equals the naive global prefix sum, " +
+    "including zero-token and chunk-spanning docs, sparse/negative ids") {
+    import spark.implicits._
+    val cap = 64L
+    val rows = (0 until 500).map { i =>
+      val id = i.toLong * 7 + i % 3 - 1000
+      val tok =
+        if (i % 11 == 0) 0L
+        else if (i % 13 == 0) 300L // spans > 4 chunks
+        else (i.toLong * 37) % 97
+      (id, tok)
+    }
+    val got = graft.ops.Packing.packChunks(
+        rows.toDF("doc_id", "n_tok"), "doc_id", col("n_tok"), cap, buckets = 7)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    var cum = 0L
+    val want = rows.sortBy(_._1).map { case (id, tok) =>
+      val first = cum / cap
+      val last = (cum + math.max(tok, 1) - 1) / cap
+      val e = id -> ((tok, first, cum % cap, last, last - first + 1))
+      cum += tok
+      e
+    }.toMap
+    assert(got.size == want.size)
+    want.foreach { case (id, w) =>
+      assert(got(id) == w, s"doc $id: got ${got(id)}, want $w")
+    }
+    // a 300-token doc at capacity 64 must span 5 or 6 chunks
+    assert(got.values.exists(_._5 >= 5), "spanning docs must cross chunks")
+  }
+
+  test("dHash: exact 9x8 hand grid bit layout; invariant to global gain") {
+    import graft.ops.PHash
+    // 9x8 image, each pixel its own downsample cell; luma strictly
+    // increases rightward on even rows, decreases on odd -> per-row bits
+    // all 1 / all 0
+    val w = 9; val h = 8
+    val px = Array.tabulate(h, w) { (y, x) =>
+      val v = if (y % 2 == 0) x * 20 else (8 - x) * 20
+      (v << 16) | (v << 8) | v
+    }.flatten
+    val dh = PHash.dHash64(px, w, h)
+    (0 until 8).foreach { y =>
+      val rowBits = (0 until 8).map(x => (dh >>> (y * 8 + x)) & 1L).sum
+      assert(rowBits == (if (y % 2 == 0) 8 else 0), s"row $y of $dh")
+    }
+    // halving every channel halves gray exactly (values are even):
+    // ordering preserved -> identical hash (the gain-invariance claim)
+    val dim = px.map { p =>
+      val f = (c: Int) => ((p >> c) & 0xFF) / 2
+      (f(16) << 16) | (f(8) << 8) | f(0)
+    }
+    assert(PHash.dHash64(dim, w, h) == dh, "dHash must be gain-invariant")
+  }
+
+  test("pixelSha collapses lossless re-encodes (png<->bmp), never lossy; " +
+    "exactPixelDedup groups never cross a gold cluster") {
+    import graft.ops.PHash
+    val px = ImageGen.pixels(5L, 1L, 40, 33)
+    def shaOf(fmt: String): String = {
+      val (w, h, dpx) = ImageGen.decode(ImageGen.encode(px, 40, 33, fmt))
+      PHash.pixelSha(dpx, w, h)
+    }
+    assert(shaOf("png") == shaOf("bmp"), "lossless re-encode must collapse")
+    assert(shaOf("jpg") != shaOf("png"), "lossy re-encode must NOT collapse")
+
+    val gen = ImageGen.generate(spark, 80L, seed = 7L, partitions = 4)
+    val feats = Multimodal.decodeFeatures(ImageGen.asImages(gen).toDF())
+    val groups = Multimodal.exactPixelDedup(feats)
+    assert(groups.agg(sum(col("n_copies"))).head().getLong(0) == 80L,
+      "groups must partition the corpus")
+    assert(groups.where(col("n_copies") > 1).count() > 0,
+      "planted lossless duplicates must collapse")
+    // no false merges: each pixel-content group stays inside one gold cluster
+    val shaToGold = feats.toDF().select(col("image_id"), col("pixel_sha"))
+      .join(gen.toDF().select(col("image_id"), col("gold_cluster")), "image_id")
+      .groupBy(col("pixel_sha"))
+      .agg(countDistinct(col("gold_cluster")).as("ng"))
+    assert(shaToGold.where(col("ng") > 1).count() == 0,
+      "a pixel_sha group crossing gold clusters is a false merge")
+  }
+
   test("sessionize: gap strictly-greater semantics, per-user isolation, durations") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -277,6 +277,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("[codegen id :") || plan.contains("WholeStageCodegen"))
   }
 
+  test("ds_pack window runs bucket-partitioned with broadcast offsets — " +
+    "never a single-partition global sort") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, i % 50 + 1)).toDF("doc_id", "n_tok")
+    val plan = formatted(
+      graft.ops.Packing.packChunks(docs, "doc_id", col("n_tok"), 64L, buckets = 8))
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global-window shape would serialize the corpus on one task:\n$plan")
+    assert(plan.contains("Window"), s"expected a window stage:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket offsets must broadcast:\n$plan")
+  }
+
   test("ta_oov scores via a broadcast dictionary; dd_decontam via broadcast eval grams") {
     import spark.implicits._
     val docs = (0L until 50L)

@@ -3,13 +3,19 @@
 written outDir/<name>.parquet + oracle_sql.json; compares each result against
 DuckDB running the oracle SQL over the same sf tables.
 
-Usage: python3 tools/check.py <sfDir> <outDir>
+Usage: python3 tools/check.py <sfDir> <outDir> [onlyQuery,...]
+
+An optional third arg (or GRAFT_CHECK_ONLY env, comma-separated) restricts
+the compare to the named queries — the full run re-derives every recursive
+CTE oracle (~minutes); iterating on one new query shouldn't pay for all.
 """
 import sys, os, json, glob
 import duckdb
 import pandas as pd
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+only = (sys.argv[3] if len(sys.argv) > 3 else os.environ.get("GRAFT_CHECK_ONLY", ""))
+only = {q for q in only.split(",") if q}
 
 con = duckdb.connect()
 for p in glob.glob(os.path.join(sfdir, "*.parquet")):
@@ -42,11 +48,13 @@ fails = 0
 # not a pass (observed: 4 ann queries crashed and the gate stayed green)
 present = {n for n in os.listdir(outdir) if os.path.isdir(os.path.join(outdir, n))}
 for name in sorted(set(oracles) - present):
+    if only and name not in only:
+        continue
     print(f"{name:28s} MISSING (query failed in Verify?)")
     fails += 1
 for name in sorted(os.listdir(outdir)):
     d = os.path.join(outdir, name)
-    if not os.path.isdir(d):
+    if not os.path.isdir(d) or (only and name not in only):
         continue
     got = canon(con.sql(f"SELECT * FROM '{d}/*.parquet'").df())
     if name not in oracles:
