@@ -973,6 +973,31 @@ FROM c"""
   /** Semi-structured JSON extraction + rollup over the event stream
     * (codegen'd `get_json_object`, order-independent aggregates only).
     */
+  /** Hopping-window rollup: 1 h windows every 15 min (each event covers 4
+    * windows). The oracle enumerates the covering epoch-aligned window
+    * starts by floor division — Spark's window() generator must agree on
+    * every boundary.
+    */
+  val hopWinSizeSec = 3600L
+  val hopWinHopSec = 900L
+
+  def evWindows(spark: SparkSession, dir: String): DataFrame =
+    Events.hoppingWindows(table(spark, dir, "events"), hopWinSizeSec, hopWinHopSec)
+
+  private val evWindowsSql = {
+    val hopUs = hopWinHopSec * 1000000L
+    val k = hopWinSizeSec / hopWinHopSec
+    s"""WITH e AS (
+  SELECT epoch_us(ts) AS u, event_type, user_id, value FROM events),
+x AS (
+  SELECT (u // $hopUs - j) * $hopUs AS win_start_us, event_type, user_id, value
+  FROM e CROSS JOIN (SELECT unnest(range($k)) AS j))
+SELECT win_start_us, event_type, count(*) AS n_events,
+  count(DISTINCT user_id) AS n_users,
+  min(value) AS min_value, max(value) AS max_value
+FROM x GROUP BY 1, 2"""
+  }
+
   def evProps(spark: SparkSession, dir: String): DataFrame =
     Events.propsRollup(table(spark, dir, "events"), "k")
 
@@ -1258,6 +1283,7 @@ SELECT doc_id, n_grams, n_contaminated, n_contaminated > 0 AS contaminated FROM 
     "dd_decontam" -> (ddDecontam _),
     "dd_url" -> (ddUrl _),
     "ds_pack" -> (dsPack _),
+    "ev_windows" -> (evWindows _),
     "sim_collection" -> (simCollection _),
     "classify_rules" -> (classifyRules _),
     "fuse_canonical" -> (fuseCanonical _),
@@ -1300,6 +1326,7 @@ SELECT doc_id, n_grams, n_contaminated, n_contaminated > 0 AS contaminated FROM 
     "dd_decontam" -> ddDecontamSql,
     "dd_url" -> ddUrlSql,
     "ds_pack" -> dsPackSql,
+    "ev_windows" -> evWindowsSql,
     "sim_collection" -> simCollectionSql,
     "classify_rules" -> classifyRulesSql,
     "fuse_canonical" -> fuseCanonicalSql,

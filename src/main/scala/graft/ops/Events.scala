@@ -144,6 +144,44 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Hopping (sliding) window aggregation — the batch analog of Structured
+    * Streaming's `window()` group (and bit-compatible with it: same
+    * epoch-aligned window arithmetic, so a backfill with this op and a live
+    * stream produce identical rows). Each event lands in size/hop windows;
+    * Spark's `window()` generator explodes the covering windows MAP-SIDE
+    * (no self-join against a window table), then one partial-aggregated
+    * groupBy on (window, event_type) shuffles only the rolled-up rows.
+    *
+    * Window starts are reported as integer epoch microseconds and every
+    * aggregate is order-independent (counts, distinct counts, min/max), so
+    * the DuckDB oracle — explicit floor-division window enumeration — is
+    * hash-exact.
+    */
+  def hoppingWindows(events: DataFrame, sizeSec: Long, hopSec: Long,
+                     withUserCounts: Boolean = true): DataFrame = {
+    require(sizeSec % hopSec == 0,
+      s"window size must be a multiple of the hop, got $sizeSec/$hopSec")
+    // exact distinct-count is not available under streaming execution —
+    // callers running this op over readStream pass withUserCounts = false
+    // (same windows, same counts/min/max: the backfill-parity subset)
+    val userAgg =
+      if (withUserCounts) Seq(countDistinct(col("user_id")).as("n_users")) else Nil
+    events
+      .groupBy(
+        window(col("ts").cast("timestamp"), s"$sizeSec seconds", s"$hopSec seconds"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        userAgg ++ Seq(
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value")): _*)
+      .withColumn("win_start_us", unix_micros(col("window.start")))
+      .drop("window")
+      .select(col("win_start_us") +: col("event_type") +:
+        (if (withUserCounts)
+          Seq(col("n_events"), col("n_users"), col("min_value"), col("max_value"))
+        else Seq(col("n_events"), col("min_value"), col("max_value"))): _*)
+  }
+
   /** Per-event-type rollup over the extracted JSON field: classic
     * partial-aggregate shape (map-side combine on the handful of event
     * types, one tiny shuffle). All aggregates are order-independent

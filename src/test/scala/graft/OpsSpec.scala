@@ -466,6 +466,24 @@ class OpsSpec extends AnyFunSuite {
     assert(cands.contains(("c", "d")), "hd=1 pair must be captured")
   }
 
+  test("hoppingWindows: epoch-aligned covering windows, boundary inclusion") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // u=3700 covers starts {900,1800,2700,3600}; u=3600 exactly on a
+    // boundary covers {900,...,3600} (start inclusive, end exclusive)
+    val ev = Seq(
+      (0L, ts(3700L), 1L, "click", 2.0),
+      (1L, ts(3600L), 2L, "click", 9.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.ops.Events.hoppingWindows(ev, 3600L, 900L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got.keySet == Set(900L, 1800L, 2700L, 3600L).map(_ * 1000000L))
+    assert(got(3600L * 1000000L) == ((2L, 2L, 2.0, 9.0)))
+    assert(got(900L * 1000000L) == ((2L, 2L, 2.0, 9.0)))
+  }
+
   test("packChunks: two-phase scan equals the naive global prefix sum, " +
     "including zero-token and chunk-spanning docs, sparse/negative ids") {
     import spark.implicits._
