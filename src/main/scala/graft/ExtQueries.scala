@@ -970,6 +970,32 @@ SELECT doc_id, n_tok,
     - cum_before // $packCapacity + 1 AS BIGINT) AS n_chunks
 FROM c"""
 
+  /** Weighted-fair mixing schedule over documents by language (see
+    * [[graft.ops.Interleave.schedule]]): en:zh:rest = 3:2:1. The oracle's
+    * naive global row_number must match the distributed two-phase rank,
+    * and the stride arithmetic is integer-exact.
+    */
+  val interleaveWeights: Map[String, Long] = Map("en" -> 3L, "zh" -> 2L)
+  val interleaveDefaultW = 1L
+
+  def dsInterleave(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Interleave.schedule(
+      table(spark, dir, "documents"), "doc_id", "lang",
+      interleaveWeights, interleaveDefaultW)
+
+  private val dsInterleaveSql = {
+    val l = 6L // lcm(3, 2, 1)
+    val cases = interleaveWeights
+      .map { case (s, w) => s"WHEN '$s' THEN ${l / w}" }.mkString(" ")
+    s"""WITH r AS (
+  SELECT doc_id, lang,
+    CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rank_in_src
+  FROM documents)
+SELECT doc_id, lang, rank_in_src,
+  rank_in_src * (CASE lang $cases ELSE ${l / interleaveDefaultW} END) AS sched_key
+FROM r"""
+  }
+
   /** Semi-structured JSON extraction + rollup over the event stream
     * (codegen'd `get_json_object`, order-independent aggregates only).
     */
@@ -1284,6 +1310,7 @@ SELECT doc_id, n_grams, n_contaminated, n_contaminated > 0 AS contaminated FROM 
     "dd_url" -> (ddUrl _),
     "ds_pack" -> (dsPack _),
     "ev_windows" -> (evWindows _),
+    "ds_interleave" -> (dsInterleave _),
     "sim_collection" -> (simCollection _),
     "classify_rules" -> (classifyRules _),
     "fuse_canonical" -> (fuseCanonical _),
@@ -1327,6 +1354,7 @@ SELECT doc_id, n_grams, n_contaminated, n_contaminated > 0 AS contaminated FROM 
     "dd_url" -> ddUrlSql,
     "ds_pack" -> dsPackSql,
     "ev_windows" -> evWindowsSql,
+    "ds_interleave" -> dsInterleaveSql,
     "sim_collection" -> simCollectionSql,
     "classify_rules" -> classifyRulesSql,
     "fuse_canonical" -> fuseCanonicalSql,

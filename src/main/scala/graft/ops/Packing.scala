@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Sequence packing for LLM training: concatenate the corpus in a stable
   * global order (doc_id) and cut it into fixed-`capacity` token chunks —
@@ -10,24 +11,70 @@ import org.apache.spark.sql.functions._
   * boundaries. The output maps every document to its physical location:
   * first/last chunk index, offset inside the first chunk, chunks spanned.
   *
-  * The whole computation is ONE global prefix sum over token counts, made
-  * distributed the classic two-phase way:
-  *   1. bucket documents by deterministic, monotone id ranges (width from
-  *      one min/max agg — NOT a sampled RangePartitioner, whose boundaries
-  *      vary per execution and would desynchronize phase 1 and phase 2);
-  *   2. per-bucket token totals (partial-aggregated, one row per bucket)
-  *      are scanned into cumulative offsets on the driver — O(buckets)
-  *      rows, the standard scan trick — and broadcast-joined back;
-  *   3. a window partitioned BY BUCKET (never a single global partition)
-  *      adds the within-bucket running sum.
-  * At 100 TB nothing heavy crosses the wire: phase 2 moves `buckets` rows,
-  * phase 3 shuffles only (doc_id, n_tok, bucket). Bucket skew follows id
-  * skew; for dense ids (the common case) buckets are near-uniform.
-  *
-  * All outputs are integer-exact (DIV / %), so the DuckDB oracle — a plain
-  * single-window prefix sum — hash-matches bit for bit.
+  * Built on [[prefixSum]], the distributed two-phase scan. All outputs are
+  * integer-exact (DIV / %), so the DuckDB oracle — a plain single-window
+  * prefix sum — hash-matches bit for bit.
   */
 object Packing {
+
+  /** Distributed EXCLUSIVE prefix sum of `valueCol` over the order of a
+    * NUMERIC unique `idCol`, independently within each `partCols` stratum:
+    * appends `cum_before` = sum of values of strictly-prior ids in the same
+    * stratum. The classic two-phase scan:
+    *   1. bucket rows by deterministic, monotone id ranges (width from one
+    *      min/max agg — NOT a sampled RangePartitioner, whose boundaries
+    *      vary per execution and would desynchronize the phases);
+    *   2. per-(stratum, bucket) totals — one partial-aggregated row each —
+    *      are scanned into exclusive offsets on the driver (O(strata ×
+    *      buckets) rows) and broadcast-joined back;
+    *   3. a window partitioned by (stratum, bucket) — never a single
+    *      global partition — adds the within-bucket running sum.
+    * At 100 TB nothing heavy crosses the wire: phase 2 moves tiny rollup
+    * rows, phase 3 shuffles only the projected columns. Bucket skew follows
+    * id skew; for dense ids (the common case) buckets are near-uniform.
+    */
+  def prefixSum(df: DataFrame, idCol: String, valueCol: Column,
+                partCols: Seq[String] = Nil, buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val base = df.withColumn("_v", valueCol.cast("long"))
+    val idL = col(idCol).cast("long")
+
+    val mm = base.agg(min(idL), max(idL)).head()
+    if (mm.isNullAt(0)) return base.withColumn("cum_before", lit(0L)).drop("_v")
+    val lo = mm.getLong(0); val hi = mm.getLong(1)
+    val width = math.max(1L, (hi - lo) / buckets + 1L)
+    val bucketed = base.withColumn("_bucket",
+      expr(s"(CAST($idCol AS BIGINT) - $lo) DIV $width"))
+    val keyCols = partCols.map(col) :+ col("_bucket")
+
+    // phase 2: per-(stratum, bucket) totals -> exclusive offsets (driver scan)
+    val nPart = partCols.length
+    val totals = bucketed.groupBy(keyCols: _*).agg(sum(col("_v")).as("_t"))
+      .collect()
+      .groupBy(r => (0 until nPart).map(r.get))
+      .flatMap { case (_, rows) =>
+        var acc = 0L
+        rows.toSeq.sortBy(_.getLong(nPart)).map { r =>
+          val o = Row.fromSeq(r.toSeq.take(nPart + 1) :+ acc)
+          acc += r.getLong(nPart + 1)
+          o
+        }
+      }.toSeq
+    val spark = df.sparkSession
+    val offSchema = StructType(
+      partCols.map(c => bucketed.schema(c)) ++
+        Seq(StructField("_bucket", LongType), StructField("_off", LongType)))
+    val offDf = broadcast(
+      spark.createDataFrame(spark.sparkContext.parallelize(totals, 1), offSchema))
+
+    // phase 3: within-bucket running sum, strictly-prior rows only
+    val win = Window.partitionBy(keyCols: _*).orderBy(idL)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(offDf, partCols :+ "_bucket")
+      .withColumn("cum_before",
+        col("_off") + coalesce(sum(col("_v")).over(win), lit(0L)))
+      .drop("_v", "_bucket", "_off")
+  }
 
   /** @param docs     input with an orderable NUMERIC id column
     * @param idCol    unique id defining the global concatenation order
@@ -39,31 +86,9 @@ object Packing {
   def packChunks(docs: DataFrame, idCol: String, tokCol: Column,
                  capacity: Long, buckets: Int = 64): DataFrame = {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
-    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
       tokCol.cast("long").as("n_tok"))
-
-    val mm = toks.agg(min(col("doc_id")), max(col("doc_id"))).head()
-    if (mm.isNullAt(0)) return emptyResult(toks)
-    val lo = mm.getLong(0); val hi = mm.getLong(1)
-    val width = math.max(1L, (hi - lo) / buckets + 1L)
-    val bucketed = toks.withColumn("bucket", expr(s"(doc_id - $lo) DIV $width"))
-
-    // phase 2: per-bucket totals -> exclusive cumulative offsets (driver scan)
-    val totals = bucketed.groupBy(col("bucket")).agg(sum(col("n_tok")).as("t"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-    var acc = 0L
-    val offsets = totals.map { case (b, t) => val o = (b, acc); acc += t; o }
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val offDf = broadcast(offsets.toSeq.toDF("bucket", "bucket_off"))
-
-    // phase 3: within-bucket running sum, strictly-prior rows only
-    val win = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    bucketed.join(offDf, Seq("bucket"))
-      .withColumn("cum_before",
-        col("bucket_off") + coalesce(sum(col("n_tok")).over(win), lit(0L)))
+    prefixSum(toks, "doc_id", col("n_tok"), Nil, buckets)
       .withColumn("first_chunk", expr(s"cum_before DIV $capacity"))
       .withColumn("chunk_offset", col("cum_before") % capacity)
       .withColumn("last_chunk",
@@ -72,9 +97,4 @@ object Packing {
         col("chunk_offset"), col("last_chunk"),
         (col("last_chunk") - col("first_chunk") + 1L).as("n_chunks"))
   }
-
-  private def emptyResult(toks: DataFrame): DataFrame =
-    toks.select(col("doc_id"), col("n_tok"), lit(0L).as("first_chunk"),
-      lit(0L).as("chunk_offset"), lit(0L).as("last_chunk"),
-      lit(0L).as("n_chunks")).limit(0)
 }

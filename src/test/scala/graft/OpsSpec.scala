@@ -517,6 +517,28 @@ class OpsSpec extends AnyFunSuite {
     assert(got.values.exists(_._5 >= 5), "spanning docs must cross chunks")
   }
 
+  test("interleave: distributed rank equals naive per-source row_number; " +
+    "every stride-boundary prefix carries sources in exact weight ratio") {
+    import spark.implicits._
+    val docs = (0L until 120L)
+      .map(i => (i, if (i < 60) "en" else if (i < 100) "zh" else "fr"))
+      .toDF("doc_id", "lang")
+    val sched = graft.ops.Interleave.schedule(
+        docs, "doc_id", "lang", Map("en" -> 3L, "zh" -> 2L), 1L, buckets = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // rank parity vs the naive per-source ordering
+    val naive = Seq("en", "zh", "fr").flatMap { s =>
+      docs.where(col("lang") === s).collect().map(_.getLong(0)).sorted
+        .zipWithIndex.map { case (id, i) => (id, s) -> (i + 1L) }
+    }.toMap
+    sched.foreach { case (id, s, r, _) => assert(naive((id, s)) == r, s"doc $id") }
+    // strides are lcm/w = 2,3,6: a virtual-time prefix at key K holds
+    // floor(K/2) en, floor(K/3) zh, floor(K/6) fr — exact 3:2:1 at K=30
+    val prefix = sched.filter(_._4 <= 30L)
+    val byLang = prefix.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang == Map("en" -> 15, "zh" -> 10, "fr" -> 5), s"got $byLang")
+  }
+
   test("dHash: exact 9x8 hand grid bit layout; invariant to global gain") {
     import graft.ops.PHash
     // 9x8 image, each pixel its own downsample cell; luma strictly
