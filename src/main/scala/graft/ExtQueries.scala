@@ -712,7 +712,7 @@ FROM s GROUP BY 1, 2"""
   val mmImageN = 400L;  val mmImageSeed = 7L
   val mmVideoN = 300L;  val mmVideoSeed = 11L
   val mmAudioN = 300L;  val mmAudioSeed = 13L
-  val mmMetaPath = s"/tmp/graft_mm_meta_n${mmImageN}_s${mmImageSeed}_v3"
+  val mmMetaPath = s"/tmp/graft_mm_meta_n${mmImageN}_s${mmImageSeed}_v4"
   val mmVideoMetaPath = s"/tmp/graft_video_meta_n${mmVideoN}_s${mmVideoSeed}_v1"
   val mmAudioMetaPath = s"/tmp/graft_audio_meta_n${mmAudioN}_s${mmAudioSeed}_v1"
 
@@ -743,8 +743,10 @@ FROM s GROUP BY 1, 2"""
       gen.map { r =>
         val (w, h, px) = graft.gen.ImageGen.decode(r.bytes)
         (r.image_id, r.fmt, r.w, r.h, graft.ops.PHash.dctHash64(px, w, h),
-          graft.ops.PHash.dHash64(px, w, h), graft.ops.PHash.pixelSha(px, w, h))
-      }.toDF("image_id", "fmt", "w", "h", "phash_dct", "dhash_grad", "pixel_sha")
+          graft.ops.PHash.dHash64(px, w, h), graft.ops.PHash.pixelSha(px, w, h),
+          r.caption)
+      }.toDF("image_id", "fmt", "w", "h", "phash_dct", "dhash_grad", "pixel_sha",
+        "caption")
     }
 
   def mmStats(spark: SparkSession, dir: String): DataFrame = {
@@ -842,6 +844,61 @@ FROM read_parquet('$mmMetaPath/*.parquet') GROUP BY 1"""
     graft.cluster.ConnectedComponents.assignAll(feats, "id", pairs)
       .select(col("id").as("image_id"), col("cluster_id"))
   }
+
+  /** Cross-modal consistency gate: image-level near-dup pairs (pHash
+    * Hamming <= t) whose CAPTIONS disagree (word-3-gram Jaccard < 0.5) —
+    * the repost/mislabel signal an image+caption curation pipeline flags
+    * before fusing duplicates (a caption-edit dup keeps high Jaccard and
+    * stays out; two different scenes colliding in pHash space, or a
+    * re-captioned repost, land here). Reuses the memoized pHash pair stage
+    * and the sorted-long intersection kernel; the oracle recomputes the
+    * Hamming join AND the n-gram Jaccard from scratch — including
+    * zero-overlap pairs, which an inner intersection join would silently
+    * drop.
+    */
+  val mmCaptionMismatchT = 0.5
+
+  def mmCaptionMismatch(spark: SparkSession, dir: String): DataFrame = {
+    val gen = graft.gen.ImageGen.generate(spark, mmImageN, seed = mmImageSeed, partitions = 8)
+    ensureMmMeta(gen)
+    val shs = gen.toDF().select(col("image_id").as("id"),
+      array_sort(transform(
+        Signatures.wordNgramsCol(Signatures.normalizeCol(col("caption")), 3),
+        s => Signatures.hash60Col(s))).as("shs"))
+    mmPhashPairs(spark, dir)
+      .join(shs.select(col("id").as("id1"), col("shs").as("sh1")), "id1")
+      .join(shs.select(col("id").as("id2"), col("shs").as("sh2")), "id2")
+      .select(col("id1"), col("id2"), col("hd"),
+        graft.functions.SortedIntersect.jaccardSorted(col("sh1"), col("sh2"))
+          .as("caption_jaccard"))
+      .where(col("caption_jaccard") < mmCaptionMismatchT)
+  }
+
+  private val mmCaptionMismatchSql =
+    s"""WITH m AS (
+  SELECT image_id, phash_dct, caption FROM read_parquet('$mmMetaPath/*.parquet')),
+nrm AS (SELECT image_id AS doc_id, ${Signatures.normalizeSql("caption")} AS norm FROM m),
+${OracleGen.wordNgramCtes(3)},
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+cands AS (
+  SELECT a.image_id AS id1, b.image_id AS id2,
+    CAST(bit_count(xor(a.phash_dct, b.phash_dct)) AS INT) AS hd
+  FROM m a JOIN m b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash_dct, b.phash_dct)) <= $mmHammingT),
+inter AS (
+  SELECT c.id1, c.id2, count(*) AS c
+  FROM cands c
+  JOIN sh s1 ON s1.doc_id = c.id1
+  JOIN sh s2 ON s2.doc_id = c.id2 AND s2.sh = s1.sh
+  GROUP BY 1, 2)
+SELECT c.id1, c.id2, c.hd,
+  CAST(coalesce(i.c, 0) AS DOUBLE) / (c1.n + c2.n - coalesce(i.c, 0)) AS caption_jaccard
+FROM cands c
+LEFT JOIN inter i ON i.id1 = c.id1 AND i.id2 = c.id2
+JOIN cnt c1 ON c1.doc_id = c.id1
+JOIN cnt c2 ON c2.doc_id = c.id2
+WHERE CAST(coalesce(i.c, 0) AS DOUBLE) / (c1.n + c2.n - coalesce(i.c, 0))
+  < $mmCaptionMismatchT"""
 
   private val mmDedupClustersSql =
     s"""WITH RECURSIVE m AS (
@@ -1023,6 +1080,19 @@ SELECT win_start_us, event_type, count(*) AS n_events,
   min(value) AS min_value, max(value) AS max_value
 FROM x GROUP BY 1, 2"""
   }
+
+  /** Event-type transition matrix over consecutive per-user events. */
+  def evTransitions(spark: SparkSession, dir: String): DataFrame =
+    Events.transitions(table(spark, dir, "events"))
+
+  private val evTransitionsSql =
+    """WITH w AS (
+  SELECT user_id, event_type AS from_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events)
+SELECT from_type, to_type, count(*) AS n_transitions,
+  count(DISTINCT user_id) AS n_users
+FROM w WHERE to_type IS NOT NULL GROUP BY 1, 2"""
 
   def evProps(spark: SparkSession, dir: String): DataFrame =
     Events.propsRollup(table(spark, dir, "events"), "k")
@@ -1311,6 +1381,7 @@ SELECT doc_id, n_grams, n_contaminated, n_contaminated > 0 AS contaminated FROM 
     "ds_pack" -> (dsPack _),
     "ev_windows" -> (evWindows _),
     "ds_interleave" -> (dsInterleave _),
+    "ev_transitions" -> (evTransitions _),
     "sim_collection" -> (simCollection _),
     "classify_rules" -> (classifyRules _),
     "fuse_canonical" -> (fuseCanonical _),
@@ -1326,6 +1397,7 @@ SELECT doc_id, n_grams, n_contaminated, n_contaminated > 0 AS contaminated FROM 
     "mm_dhash_pairs" -> (mmDhashPairs _),
     "mm_exact" -> (mmExact _),
     "mm_dedup_clusters" -> (mmDedupClusters _),
+    "mm_caption_mismatch" -> (mmCaptionMismatch _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_audio_features" -> (mmAudioFeatures _))
 
@@ -1355,6 +1427,7 @@ SELECT doc_id, n_grams, n_contaminated, n_contaminated > 0 AS contaminated FROM 
     "ds_pack" -> dsPackSql,
     "ev_windows" -> evWindowsSql,
     "ds_interleave" -> dsInterleaveSql,
+    "ev_transitions" -> evTransitionsSql,
     "sim_collection" -> simCollectionSql,
     "classify_rules" -> classifyRulesSql,
     "fuse_canonical" -> fuseCanonicalSql,
@@ -1368,6 +1441,7 @@ SELECT doc_id, n_grams, n_contaminated, n_contaminated > 0 AS contaminated FROM 
     "mm_dhash_pairs" -> mmDhashPairsSql,
     "mm_exact" -> mmExactSql,
     "mm_dedup_clusters" -> mmDedupClustersSql,
+    "mm_caption_mismatch" -> mmCaptionMismatchSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_audio_features" -> mmAudioFeaturesSql,
     "refine_clusters" -> (s"""WITH RECURSIVE ${OracleGen.nrmCte},

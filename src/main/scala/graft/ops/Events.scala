@@ -182,6 +182,27 @@ object Events {
         else Seq(col("n_events"), col("min_value"), col("max_value"))): _*)
   }
 
+  /** Event-type transition matrix (user-journey bigrams): for every pair of
+    * CONSECUTIVE events of one user, count (from_type -> to_type) and the
+    * distinct users making that transition — the Markov-chain input behind
+    * flow/sankey analysis and next-action models.
+    *
+    * Shape at scale: one hash-partition on user_id feeds the lead() window
+    * (per-user partitions are bounded), and the rollup's grouping is the
+    * tiny type-pair space, partial-aggregated map-side. Deterministic: the
+    * window orders by (ts, event_id) so ties never reorder.
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Per-event-type rollup over the extracted JSON field: classic
     * partial-aggregate shape (map-side combine on the handful of event
     * types, one tiny shuffle). All aggregates are order-independent
