@@ -290,6 +290,27 @@ class PlanSpec extends AnyFunSuite {
       s"bucket offsets must broadcast:\n$plan")
   }
 
+  test("ev_windows explodes covering windows map-side: no join, no " +
+    "single-partition exchange; ev_transitions reuses one user_id exchange") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val ev = (0L until 200L).map(i =>
+        (i, new Timestamp(i * 737000L), i % 20, if (i % 3 == 0) "view" else "click", i * 1.5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val win = formatted(graft.ops.Events.hoppingWindows(ev, 3600L, 900L))
+    assert(!win.contains("Join"), s"covering windows must not join:\n$win")
+    assert(!win.contains("Exchange SinglePartition"), s"\n$win")
+    assert(win.contains("Expand") || win.contains("Generate") || win.contains("explode"),
+      s"expected a map-side window explode:\n$win")
+    val tr = formatted(graft.ops.Events.transitions(ev))
+    val exchanges = tr.linesIterator.count(l =>
+      l.contains(") Exchange") || l.trim.startsWith("Exchange"))
+    // lead() window partitioning + the distinct-count rollup: bounded
+    // exchange count, none of them single-partition
+    assert(!tr.contains("Exchange SinglePartition"), s"\n$tr")
+    assert(exchanges <= 3, s"expected <= 3 exchanges, got $exchanges:\n$tr")
+  }
+
   test("ta_oov scores via a broadcast dictionary; dd_decontam via broadcast eval grams") {
     import spark.implicits._
     val docs = (0L until 50L)
