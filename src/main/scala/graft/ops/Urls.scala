@@ -18,7 +18,13 @@ import org.apache.spark.sql.functions._
   */
 object Urls {
 
-  def canonicalize(url: Column): Column = {
+  def canonicalize(url: Column): Column =
+    // crawl feeds carry junk rows; a scheme-less string is not a URL —
+    // yield NULL (dedup drops it) instead of fabricating a "://" key
+    when(instr(url, "://") === 0, lit(null).cast("string"))
+      .otherwise(canonicalizeWellFormed(url))
+
+  private def canonicalizeWellFormed(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*", "")
     val hasQ = instr(noFrag, "?") > 0
     val pre = when(hasQ, substring_index(noFrag, "?", 1)).otherwise(noFrag)
@@ -40,6 +46,7 @@ object Urls {
     */
   def dedup(df: DataFrame, urlCol: String, idCol: String): DataFrame =
     df.select(col(idCol), canonicalize(col(urlCol)).as("canonical_url"))
+      .where(col("canonical_url").isNotNull)
       .groupBy(col("canonical_url"))
       .agg(count(lit(1)).as("n_urls"), min(col(idCol)).as("rep_id"))
 }

@@ -870,6 +870,13 @@ class OpsSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getString(0) == r.getString(1),
       s"got ${r.getString(0)}, want ${r.getString(1)}"))
 
+    // junk rows (no scheme) canonicalize to NULL and are dropped by dedup
+    val junk = Seq(("1", "not a url"), ("2", ""), ("3", "https://ok.example.com/p"))
+      .toDF("url_id", "url")
+    assert(junk.select(graft.ops.Urls.canonicalize(col("url")))
+      .collect().count(_.isNullAt(0)) == 2)
+    assert(graft.ops.Urls.dedup(junk, "url", "url_id").count() == 1)
+
     // generator round-trip: every row canonicalizes to its gold form
     val gen = graft.gen.UrlGen.generate(spark, 200L, seed = 23L).toDF()
     val bad = gen.where(graft.ops.Urls.canonicalize(col("url")) =!= col("gold_canonical"))

@@ -235,6 +235,33 @@ class ResumeStreamSpec extends AnyFunSuite {
       Seq("window", "event_type", "n", "total"))
   }
 
+  test("streaming image dedup e2e: decode features on the stream, " +
+    "first-per-pixel_sha keeps exactly one id per distinct pixel content") {
+    val dir = tmpDir("graft-stream-img")
+    val gen = graft.gen.ImageGen.generate(spark, 60L, seed = 7L, partitions = 4)
+    graft.gen.ImageGen.asImages(gen).toDF()
+      .coalesce(2).write.mode("append").parquet(dir)
+    val batchFeats = graft.ops.Multimodal.decodeFeatures(spark.read.parquet(dir))
+    val nDistinct = batchFeats.select("pixel_sha").distinct().count()
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .parquet(dir)
+    // the SAME decode operator runs on the unbounded stream (stateless
+    // mapPartitions in the scan stage), then stateful first-per-key dedup
+    val feats = graft.ops.Multimodal.decodeFeatures(stream).toDF()
+    val q = StreamingDedup.firstPerKey(feats, "pixel_sha", "image_id")
+      .writeStream.outputMode("append").format("memory").queryName("imguniq")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("imguniq").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    assert(kept.length.toLong == nDistinct,
+      s"one survivor per distinct pixel content: ${kept.length} vs $nDistinct")
+    assert(kept.map(_._1).distinct.length == kept.length, "keys must be unique")
+    assert(kept.length < 60, "planted lossless duplicates must be dropped")
+  }
+
   test("streaming backfill parity: the SAME hopping-window operator over a " +
     "stream (complete mode) emits exactly the batch rows") {
     val dir = tmpDir("graft-stream-hop")
