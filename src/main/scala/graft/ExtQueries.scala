@@ -1027,6 +1027,25 @@ SELECT doc_id, n_tok,
     - cum_before // $packCapacity + 1 AS BIGINT) AS n_chunks
 FROM c"""
 
+  /** Per-language quota cap over documents (at most `balanceK` docs per
+    * lang, lowest ids survive) — the anti-spam hard cap. Oracle = naive
+    * per-stratum row_number.
+    */
+  val balanceK = 70L
+
+  def dsBalance(spark: SparkSession, dir: String): DataFrame =
+    Sampling.capPerStratum(
+      table(spark, dir, "documents").select(col("doc_id"), col("lang")),
+      "doc_id", "lang", balanceK)
+
+  private val dsBalanceSql =
+    s"""WITH r AS (
+  SELECT doc_id, lang,
+    CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT)
+      AS rank_in_stratum
+  FROM documents)
+SELECT doc_id, lang, rank_in_stratum FROM r WHERE rank_in_stratum <= $balanceK"""
+
   /** Weighted-fair mixing schedule over documents by language (see
     * [[graft.ops.Interleave.schedule]]): en:zh:rest = 3:2:1. The oracle's
     * naive global row_number must match the distributed two-phase rank,
@@ -1381,6 +1400,7 @@ SELECT doc_id, n_grams, n_contaminated, n_contaminated > 0 AS contaminated FROM 
     "ds_pack" -> (dsPack _),
     "ev_windows" -> (evWindows _),
     "ds_interleave" -> (dsInterleave _),
+    "ds_balance" -> (dsBalance _),
     "ev_transitions" -> (evTransitions _),
     "sim_collection" -> (simCollection _),
     "classify_rules" -> (classifyRules _),
@@ -1427,6 +1447,7 @@ SELECT doc_id, n_grams, n_contaminated, n_contaminated > 0 AS contaminated FROM 
     "ds_pack" -> dsPackSql,
     "ev_windows" -> evWindowsSql,
     "ds_interleave" -> dsInterleaveSql,
+    "ds_balance" -> dsBalanceSql,
     "ev_transitions" -> evTransitionsSql,
     "sim_collection" -> simCollectionSql,
     "classify_rules" -> classifyRulesSql,

@@ -53,6 +53,25 @@ object Sampling {
     df.withColumn("bucket", bucket).withColumn("split", assign)
   }
 
+  /** Per-stratum quota cap: keep at most `k` rows per stratum — the
+    * C4/RefinedWeb-style anti-spam step ("no domain/language may contribute
+    * more than K documents"), deterministic: survivors are the k lowest
+    * ids of each stratum (callers wanting quality-ordered quotas map a
+    * quality rank into the id first). Unlike [[stratified]]'s rate
+    * sampling, a hard cap needs each row's RANK within its stratum — at
+    * scale that is [[Packing.prefixSum]]'s two-phase scan (tiny rollup
+    * shuffle + broadcast offsets + bucket-partitioned window), never a
+    * whole-stratum single-task window.
+    */
+  def capPerStratum(df: DataFrame, idCol: String, stratumCol: String,
+                    k: Long, buckets: Int = 64): DataFrame = {
+    require(k >= 0, s"cap must be >= 0, got $k")
+    Packing.prefixSum(df, idCol, lit(1L), Seq(stratumCol), buckets)
+      .withColumn("rank_in_stratum", col("cum_before") + 1L)
+      .where(col("rank_in_stratum") <= k)
+      .drop("cum_before")
+  }
+
   /** Deterministic stratified sample: keep a row iff its hash bucket falls
     * under the keep-rate of its stratum (per-mille-style integer rates out
     * of `nBuckets`). Unknown strata fall back to `defaultRate`.
