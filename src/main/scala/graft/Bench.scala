@@ -521,7 +521,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(
+    val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir",""" +
       s""""pipeline_n":$benchN,"cores_n":$lo,"cores_4n":$hi,""" +
       s""""images_per_sec_n":${thrLo},"images_per_sec_4n":${thrHi},""" +
@@ -545,7 +545,17 @@ object Bench {
         yield (h._1 / l._1) / (hi.toDouble / lo)).getOrElse(-1.0)},""" +
       s""""hw_compute_scaling":${(for (l <- hw(lo); h <- hw(hi))
         yield l._2 / h._2).getOrElse(-1.0)},""" +
-      s""""scaling_efficiency":$eff}""")
+      s""""scaling_efficiency":$eff}"""
+    // The consumer's stdout tail-capture has lost this line before (sbt
+    // prefixes + interleaving truncated BENCH_r03 to an unparseable tail) —
+    // ALSO persist the result to a stable file so the headline numbers
+    // never depend on log capture.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: $e") }
+    println(json)
   }
 }
 

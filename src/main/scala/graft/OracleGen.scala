@@ -224,25 +224,43 @@ codes AS (
   FROM dl)"""
   }
 
-  /** ADC select expression over aliases `q` (qnv) and `c` (pq) — the
-    * dot-with-ones sum is the same sequential fold as Spark's aggregate.
+  /** Per-QUERY ADC lookup table: lt[j+1][c+1] = ‖q̂_j − C_j[c]‖², computed
+    * once per query (O(queries·m·codes) subspace distances). The per-pair
+    * ADC is then m list lookups + a dot-with-ones — the round-3 oracle
+    * instead re-evaluated the full codebook-literal diff expression per
+    * (query, corpus) pair, which took MINUTES per query in DuckDB and
+    * plausibly killed the driver's serialized gate. Arithmetic is
+    * unchanged: each lt entry is the same diff/list_dot_product fold, and
+    * the per-pair sum keeps the same j-ascending dot-with-ones order, so
+    * results stay bit-exact with Spark's aggregate fold.
     */
-  private def pqAdcSql(cb: Array[Array[Array[Double]]]): String = {
+  private def pqLutCte(cb: Array[Array[Array[Double]]]): String = {
     val diff = pqDiffSql(cb) _
-    val qcent = s"(${cbLiteralSql(cb)})[j+1][c.pq[j+1]+1]"
-    val d2query = s"list_dot_product(${diff("q.qnv", qcent)}, ${diff("q.qnv", qcent)})"
-    s"""list_dot_product(
-      list_transform(generate_series(0, ${cb.length - 1}), j -> $d2query),
-      list_transform(generate_series(0, ${cb.length - 1}), j -> 1.0))"""
+    val d2 = s"list_dot_product(${diff("q.qnv", "cent")}, ${diff("q.qnv", "cent")})"
+    s"""lut AS (
+  SELECT q.query_id,
+    list_transform(generate_series(0, ${cb.length - 1}), j ->
+      list_transform((${cbLiteralSql(cb)})[j+1], cent -> $d2)) AS lt
+  FROM q)"""
   }
+
+  /** ADC select expression over aliases `l` (lt, from [[pqLutCte]]) and `c`
+    * (pq) — the dot-with-ones sum is the same sequential fold as Spark's
+    * aggregate.
+    */
+  private def pqAdcSql(m: Int): String =
+    s"""list_dot_product(
+      list_transform(generate_series(0, ${m - 1}), j -> l.lt[j+1][c.pq[j+1]+1]),
+      list_transform(generate_series(0, ${m - 1}), j -> 1.0))"""
 
   def pqCtes(cb: Array[Array[Array[Double]]], queryMod: Int, shortlist: Int): String =
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 ${pqCodesCtes(cb)},
 q AS (SELECT vec_id AS query_id, nv AS qnv FROM nrm WHERE vec_id % $queryMod = 0),
+${pqLutCte(cb)},
 adc AS (
-  SELECT q.query_id, c.vec_id AS neighbor_id, ${pqAdcSql(cb)} AS adc
-  FROM q JOIN codes c ON c.vec_id <> q.query_id),
+  SELECT l.query_id, c.vec_id AS neighbor_id, ${pqAdcSql(cb.length)} AS adc
+  FROM lut l JOIN codes c ON c.vec_id <> l.query_id),
 short AS (
   SELECT query_id, neighbor_id FROM (
     SELECT query_id, neighbor_id,
@@ -264,12 +282,13 @@ qprobes AS (
   SELECT vec_id AS query_id, c AS cell FROM rc
   WHERE vec_id % $queryMod = 0 AND crank <= $nprobe),
 q AS (SELECT vec_id AS query_id, nv AS qnv FROM nrm WHERE vec_id % $queryMod = 0),
+${pqLutCte(cb)},
 adc AS (
-  SELECT q.query_id, cl.neighbor_id, ${pqAdcSql(cb)} AS adc
+  SELECT p.query_id, cl.neighbor_id, ${pqAdcSql(cb.length)} AS adc
   FROM qprobes p
   JOIN cells cl ON cl.cell = p.cell AND cl.neighbor_id <> p.query_id
   JOIN codes c ON c.vec_id = cl.neighbor_id
-  JOIN q ON q.query_id = p.query_id),
+  JOIN lut l ON l.query_id = p.query_id),
 short AS (
   SELECT query_id, neighbor_id FROM (
     SELECT query_id, neighbor_id,

@@ -8,14 +8,20 @@ Usage: python3 tools/check.py <sfDir> <outDir> [onlyQuery,...]
 An optional third arg (or GRAFT_CHECK_ONLY env, comma-separated) restricts
 the compare to the named queries — the full run re-derives every recursive
 CTE oracle (~minutes); iterating on one new query shouldn't pay for all.
+
+Every oracle's DuckDB wall time is printed. GRAFT_ORACLE_BUDGET_SEC (float,
+default 60) fails any single oracle that exceeds the budget — a slow oracle
+killed the driver's serialized round-3 gate (empty CORRECTNESS file), so
+budget breaches are gate failures, not style notes.
 """
-import sys, os, json, glob
+import sys, os, json, glob, time
 import duckdb
 import pandas as pd
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 only = (sys.argv[3] if len(sys.argv) > 3 else os.environ.get("GRAFT_CHECK_ONLY", ""))
 only = {q for q in only.split(",") if q}
+budget = float(os.environ.get("GRAFT_ORACLE_BUDGET_SEC", "60"))
 
 con = duckdb.connect()
 for p in glob.glob(os.path.join(sfdir, "*.parquet")):
@@ -47,6 +53,11 @@ fails = 0
 # a query that THREW in Verify writes no result dir — that is a failure,
 # not a pass (observed: 4 ann queries crashed and the gate stayed green)
 present = {n for n in os.listdir(outdir) if os.path.isdir(os.path.join(outdir, n))}
+# an `only` name matching neither an oracle nor an output dir would be
+# silently skipped by both loops — a vacuously green run; fail it instead
+for name in sorted(only - (set(oracles) | present)):
+    print(f"{name:28s} UNKNOWN (not an oracle name and no output dir — typo?)")
+    fails += 1
 for name in sorted(set(oracles) - present):
     if only and name not in only:
         continue
@@ -60,17 +71,23 @@ for name in sorted(os.listdir(outdir)):
     if name not in oracles:
         print(f"{name:28s} rows={len(got)} (no oracle; rows-only)")
         continue
+    t0 = time.monotonic()
     try:
         exp = canon(con.sql(oracles[name]).df())
     except Exception as e:
         print(f"{name:28s} ORACLE SQL ERROR: {str(e)[:200]}")
         fails += 1
         continue
+    osec = time.monotonic() - t0
+    over = "" if osec <= budget else f" OVER-BUDGET({budget:g}s)"
+    if over:
+        fails += 1
     schema_ok = list(got.columns) == list(exp.columns)
     rows_ok = len(got) == len(exp)
     hash_ok = schema_ok and rows_ok and got.equals(exp)
     status = "OK" if hash_ok else "MISMATCH"
-    print(f"{name:28s} rows={len(got)}/{len(exp)} schema={schema_ok} hash={hash_ok} {status}")
+    print(f"{name:28s} rows={len(got)}/{len(exp)} schema={schema_ok} hash={hash_ok}"
+          f" oracle_sec={osec:.2f} {status}{over}")
     if not hash_ok:
         fails += 1
         if schema_ok and rows_ok:
