@@ -787,7 +787,7 @@ FROM read_parquet('$mmMetaPath/*.parquet') GROUP BY fmt"""
     QueryCache.memo(spark, "mm_feats", dir) {
       Multimodal.decodeFeatures(graft.gen.ImageGen.asImages(gen).toDF())
         .select(col("image_id").as("id"), col("phash_dct"), col("dhash_grad"),
-          col("pixel_sha"))
+          col("pixel_sha"), col("decode_ok"))
     }
   }
 
@@ -820,12 +820,12 @@ FROM read_parquet('$mmMetaPath/*.parquet') GROUP BY fmt"""
     * the hash only matches if the distributed groupBy reproduces the
     * planted copy structure exactly — and the sha strings themselves match.
     */
-  def mmExact(spark: SparkSession, dir: String): DataFrame = {
-    val gen = graft.gen.ImageGen.generate(spark, mmImageN, seed = mmImageSeed, partitions = 8)
-    ensureMmMeta(gen)
-    Multimodal.exactPixelDedup(
-      Multimodal.decodeFeatures(graft.gen.ImageGen.asImages(gen).toDF()))
-  }
+  def mmExact(spark: SparkSession, dir: String): DataFrame =
+    // rides the memoized decode stage (decode once across the image family)
+    // instead of re-decoding the binary column per invocation
+    mmFeats(spark, dir).where(col("decode_ok"))
+      .groupBy(col("pixel_sha"))
+      .agg(count(lit(1)).as("n_copies"), min(col("id")).as("rep_id"))
 
   private val mmExactSql =
     s"""SELECT pixel_sha, count(*) AS n_copies, min(image_id) AS rep_id
@@ -879,7 +879,10 @@ FROM read_parquet('$mmMetaPath/*.parquet') GROUP BY 1"""
   SELECT image_id, phash_dct, caption FROM read_parquet('$mmMetaPath/*.parquet')),
 nrm AS (SELECT image_id AS doc_id, ${Signatures.normalizeSql("caption")} AS norm FROM m),
 ${OracleGen.wordNgramCtes(3)},
-cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+cnt AS (
+  SELECT n.doc_id, count(s.sh) AS n
+  FROM nrm n LEFT JOIN sh s ON s.doc_id = n.doc_id
+  GROUP BY 1),
 cands AS (
   SELECT a.image_id AS id1, b.image_id AS id2,
     CAST(bit_count(xor(a.phash_dct, b.phash_dct)) AS INT) AS hd
@@ -890,15 +893,21 @@ inter AS (
   FROM cands c
   JOIN sh s1 ON s1.doc_id = c.id1
   JOIN sh s2 ON s2.doc_id = c.id2 AND s2.sh = s1.sh
-  GROUP BY 1, 2)
-SELECT c.id1, c.id2, c.hd,
-  CAST(coalesce(i.c, 0) AS DOUBLE) / (c1.n + c2.n - coalesce(i.c, 0)) AS caption_jaccard
-FROM cands c
-LEFT JOIN inter i ON i.id1 = c.id1 AND i.id2 = c.id2
-JOIN cnt c1 ON c1.doc_id = c.id1
-JOIN cnt c2 ON c2.doc_id = c.id2
-WHERE CAST(coalesce(i.c, 0) AS DOUBLE) / (c1.n + c2.n - coalesce(i.c, 0))
-  < $mmCaptionMismatchT"""
+  GROUP BY 1, 2),
+jac AS (
+  -- cnt is built by LEFT JOIN from nrm so zero-ngram captions still join;
+  -- zero union = 1.0 (both empty: identical, NOT a mismatch) — mirrors the
+  -- engine's jaccardSorted guard exactly
+  SELECT c.id1, c.id2, c.hd,
+    CASE WHEN c1.n + c2.n - coalesce(i.c, 0) = 0 THEN 1.0
+         ELSE CAST(coalesce(i.c, 0) AS DOUBLE) / (c1.n + c2.n - coalesce(i.c, 0))
+    END AS caption_jaccard
+  FROM cands c
+  LEFT JOIN inter i ON i.id1 = c.id1 AND i.id2 = c.id2
+  JOIN cnt c1 ON c1.doc_id = c.id1
+  JOIN cnt c2 ON c2.doc_id = c.id2)
+SELECT id1, id2, hd, caption_jaccard FROM jac
+WHERE caption_jaccard < $mmCaptionMismatchT"""
 
   private val mmDedupClustersSql =
     s"""WITH RECURSIVE m AS (
@@ -1060,7 +1069,9 @@ SELECT doc_id, lang, rank_in_stratum FROM r WHERE rank_in_stratum <= $balanceK""
       interleaveWeights, interleaveDefaultW)
 
   private val dsInterleaveSql = {
-    val l = 6L // lcm(3, 2, 1)
+    // derive L from the SAME constants the Scala side folds — a hardcoded
+    // lcm would silently desynchronize the oracle when weights are edited
+    val l = graft.ops.Interleave.lcmOf(interleaveWeights.values.toSeq :+ interleaveDefaultW)
     val cases = interleaveWeights
       .map { case (s, w) => s"WHEN '$s' THEN ${l / w}" }.mkString(" ")
     s"""WITH r AS (
@@ -1285,7 +1296,7 @@ FROM read_parquet('$piiDocsPath/*.parquet')"""
     */
   val urlN = 400L
   val urlSeed = 23L
-  val urlDocsPath = s"/tmp/graft_url_docs_n${urlN}_s${urlSeed}_v1"
+  val urlDocsPath = s"/tmp/graft_url_docs_n${urlN}_s${urlSeed}_v2"
 
   def ddUrl(spark: SparkSession, dir: String): DataFrame = {
     val urls = graft.gen.UrlGen.generate(spark, urlN, seed = urlSeed).toDF()

@@ -53,16 +53,29 @@ object UrlGen {
       (if ((mix(seed, i, 11) & 1) == 0)
         Seq(s"utm_source=feed${java.lang.Math.floorMod(mix(seed, i, 12), 5L)}") else Nil) ++
       (if ((mix(seed, i, 13) & 1) == 0)
-        Seq(s"sessionid=${java.lang.Math.floorMod(mix(seed, i, 14), 100000L)}") else Nil)
+        Seq(s"sessionid=${java.lang.Math.floorMod(mix(seed, i, 14), 100000L)}") else Nil) ++
+      // a junk redirect param whose VALUE is a full URL — plants a second
+      // '?' and '://' inside the query (real crawls do this constantly);
+      // canonicalization must split at the FIRST occurrence or this mangles
+      (if ((mix(seed, i, 17) & 1) == 0)
+        Seq(s"utm_next=https://track.example.org/r?u=${java.lang.Math.floorMod(mix(seed, i, 18), 1000L)}") else Nil)
     val shuffled = params.sortBy(p => mix(seed, i, 20 + p.length))
     val frag = if ((mix(seed, i, 15) & 1) == 0) "#section2" else ""
     val slash = if ((mix(seed, i, 16) & 1) == 0) "/" else ""
     s"${caseShuffle(scheme, seed, i + 7)}://$host$path$slash?${shuffled.mkString("&")}$frag"
   }
 
-  /** Decoy: near the base but canonically DISTINCT (different page param). */
+  /** Decoy: near the base but canonically DISTINCT — either a different
+    * page param, or a KEPT `next=` redirect param carrying a full embedded
+    * URL (params stay bytewise-sorted: lang < next < page, so the decoy
+    * string is its own canonical form).
+    */
   def decoy(seed: Long, i: Long, b: String): String =
-    b.replaceFirst("page=[0-9]+", s"page=${java.lang.Math.floorMod(mix(seed, i, 30), 9L) + 10}")
+    if ((mix(seed, i, 31) & 1) == 0)
+      b.replaceFirst("page=", s"next=https://other.example.org/go?x=${
+        java.lang.Math.floorMod(mix(seed, i, 32), 1000L)}&page=")
+    else
+      b.replaceFirst("page=[0-9]+", s"page=${java.lang.Math.floorMod(mix(seed, i, 30), 9L) + 10}")
 
   /** n rows in groups of 4: the base, two duplicate variants, one decoy. */
   def generate(spark: SparkSession, n: Long, seed: Long = 23L,

@@ -25,6 +25,11 @@ object Interleave {
   private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
   private def lcm(a: Long, b: Long): Long = a / gcd(a, b) * b
 
+  /** The schedule's virtual-time base L — exposed so oracle SQL derives it
+    * from the same fold instead of hardcoding a value.
+    */
+  def lcmOf(ws: Seq[Long]): Long = ws.reduce(lcm)
+
   /** @param docs          input with a NUMERIC unique id and a source column
     * @param idCol         unique id ordering documents within a source
     * @param srcCol        source/stratum column (e.g. language, corpus name)
@@ -36,7 +41,7 @@ object Interleave {
                buckets: Int = 64): DataFrame = {
     require(defaultWeight >= 1 && weights.values.forall(_ >= 1),
       "weights must be positive")
-    val l = (weights.values.toSeq :+ defaultWeight).reduce(lcm)
+    val l = lcmOf(weights.values.toSeq :+ defaultWeight)
     val stride: Column = weights.foldLeft(
       when(lit(false), lit(0L))) { case (c, (s, w)) =>
         c.when(col(srcCol) === s, lit(l / w))

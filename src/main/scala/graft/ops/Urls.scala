@@ -27,10 +27,16 @@ object Urls {
   private def canonicalizeWellFormed(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*", "")
     val hasQ = instr(noFrag, "?") > 0
+    // split at the FIRST '?' and FIRST '://' — crawl URLs embed full URLs
+    // inside query values (?next=https://...), and a last-occurrence split
+    // (substring_index(..., -1)) would silently drop the middle query
+    // segment and merge distinct URLs (it also diverged from the oracle's
+    // strpos-based split)
     val pre = when(hasQ, substring_index(noFrag, "?", 1)).otherwise(noFrag)
-    val query = when(hasQ, substring_index(noFrag, "?", -1)).otherwise(lit(""))
+    val query = when(hasQ, noFrag.substr(instr(noFrag, "?") + 1, length(noFrag)))
+      .otherwise(lit(""))
     val scheme = lower(substring_index(pre, "://", 1))
-    val rest = substring_index(pre, "://", -1)
+    val rest = pre.substr(instr(pre, "://") + 3, length(pre))
     val host0 = substring_index(rest, "/", 1)
     val host = regexp_replace(lower(host0), "^www\\.", "")
     val path = regexp_replace(rest.substr(length(host0) + 1, length(rest)), "/$", "")

@@ -863,7 +863,13 @@ class OpsSpec extends AnyFunSuite {
       // all params junk -> no query part at all
       ("https://a.example.com/p?utm_a=1&sessionid=99", "https://a.example.com/p"),
       // no path at all
-      ("https://WWW.c.Example.org?b=2&a=1", "https://c.example.org?a=1&b=2"))
+      ("https://WWW.c.Example.org?b=2&a=1", "https://c.example.org?a=1&b=2"),
+      // embedded full URL in a query VALUE: the second '?' and '://' must
+      // not truncate the query (split at FIRST occurrence only)
+      ("https://d.example.com/p?next=https://other.example.org/go?x=1&a=2",
+        "https://d.example.com/p?a=2&next=https://other.example.org/go?x=1"),
+      ("https://d.example.com/p?utm_next=https://t.example.org/r?u=9&a=2",
+        "https://d.example.com/p?a=2"))
       .toDF("url", "want")
     val got = cases.select(graft.ops.Urls.canonicalize(col("url")).as("got"), col("want"))
       .collect()
