@@ -1379,6 +1379,98 @@ tr AS (
   GROUP BY 1)
 SELECT doc_id, n_grams, n_contaminated, n_contaminated > 0 AS contaminated FROM tr"""
 
+  // ---------------------------------------------- flagship pipeline oracle
+
+  /** Full 6-stage dedup pipeline (features -> multi-pass blocking -> rule
+    * cascade verify -> transitive closure -> refine -> fusion,
+    * `app.Pipeline.run`) over the deterministic ImageGen corpus, hash-gated
+    * against the BRUTE-FORCE oracle: `gen.PipeOracle` applies the verify
+    * cascade to every pair (no blocking, no LSH, no distributed machinery)
+    * and union-finds the closure on the driver; the side table stores that
+    * expected assignment plus generator caption/fmt, and the DuckDB oracle
+    * derives the expected canonical per cluster (min-id cluster id, member
+    * count, fused caption = longest -> most-frequent -> first-by-id, fused
+    * fmt = most-frequent -> first-by-id, mirroring the Merge DSL). The row
+    * hash matches only if multi-pass blocking misses NO decisive pair, the
+    * codegen cascade scores identically, distributed CC reproduces the
+    * union-find partition, and fusion's resolution order is right — the
+    * distributed analog of the reference's own e2e equality check
+    * (`examples/src/test/java/.../PersonDeduplicationTest.java:69-86`).
+    *
+    * Two deliberate oracle choices:
+    *  - raw planted gold is NOT the truth: ~5% of planted edits are
+    *    legitimately unrecoverable (below every similarity threshold), so
+    *    ground truth is the cascade's own all-pairs closure, as in
+    *    PipelineSpec;
+    *  - the refine stage is excluded HERE (clustered rows feed fusion
+    *    straight from CC): refine intentionally re-partitions weak-cohesion
+    *    TC clusters, so its output has no ground truth independent of its
+    *    own algorithm — the reference e2e test freezes a fixture for this;
+    *    our refine hash gate is the separate `refine_clusters` oracle plus
+    *    the reference-fixture unit tests and PipelineSpec's split-only /
+    *    fused-output invariants over the full 6-stage run.
+    */
+  val pipeN = 1000L
+  val pipeSeed = 42L
+  val pipeTruthPath = s"/tmp/graft_pipe_truth_n${pipeN}_s${pipeSeed}_v2"
+
+  private def ensurePipeTruth(): Unit =
+    ensureSideTable(pipeTruthPath) {
+      val recs = (0L until pipeN).map(i => graft.gen.ImageGen.record(pipeSeed, i, pipeN))
+      val exp = graft.gen.PipeOracle.assign(recs, graft.model.DedupConfig())
+      val spark = org.apache.spark.sql.SparkSession.active
+      import spark.implicits._
+      recs.map(r => (r.image_id, exp(r.image_id), r.caption, r.fmt))
+        .toDF("image_id", "exp_cluster", "caption", "fmt")
+    }
+
+  def pipelineCanonical(spark: SparkSession, dir: String): DataFrame = {
+    import graft.app.Pipeline
+    val cfg = graft.model.DedupConfig()
+    val gen = graft.gen.ImageGen.generate(spark, pipeN, seed = pipeSeed, partitions = 8)
+    ensurePipeTruth()
+    val df = graft.gen.ImageGen.asImages(gen).toDF()
+    val feats = Pipeline.features(df, cfg).persist()
+    feats.count() // fan-out barrier: see Pipeline.run
+    val scored = Pipeline.classified(feats, Pipeline.candidates(feats, cfg), cfg)
+    val assign = Pipeline.cluster(feats, scored)
+    val slim = df.select(col("image_id"), col("caption"), col("fmt"),
+      col("w"), col("h"), col("phash"))
+    Pipeline.fuse(slim, assign).toDF()
+      .select(col("cluster_id"), col("n_members"), col("image_id"),
+        col("caption"), col("fmt"))
+  }
+
+  private val pipelineCanonicalSql =
+    s"""WITH g AS (
+  SELECT image_id, exp_cluster, caption, fmt
+  FROM read_parquet('$pipeTruthPath/*.parquet')),
+cl AS (
+  SELECT exp_cluster, min(image_id) AS cluster_id,
+         CAST(count(*) AS BIGINT) AS n_members
+  FROM g GROUP BY 1),
+capc AS (
+  SELECT exp_cluster, caption, count(*) AS cnt, min(image_id) AS first_id
+  FROM g GROUP BY 1, 2),
+capr AS (
+  SELECT exp_cluster, caption,
+    row_number() OVER (PARTITION BY exp_cluster
+      ORDER BY length(caption) DESC, cnt DESC, first_id ASC) AS rn
+  FROM capc),
+fmtc AS (
+  SELECT exp_cluster, fmt, count(*) AS cnt, min(image_id) AS first_id
+  FROM g GROUP BY 1, 2),
+fmtr AS (
+  SELECT exp_cluster, fmt,
+    row_number() OVER (PARTITION BY exp_cluster
+      ORDER BY cnt DESC, first_id ASC) AS rn
+  FROM fmtc)
+SELECT cl.cluster_id, cl.n_members, cl.cluster_id AS image_id,
+       c.caption, f.fmt
+FROM cl
+JOIN capr c ON c.exp_cluster = cl.exp_cluster AND c.rn = 1
+JOIN fmtr f ON f.exp_cluster = cl.exp_cluster AND f.rn = 1"""
+
   // ------------------------------------------------------------ registry
 
   // lazy: Queries.all references this map while this object's init
@@ -1430,7 +1522,8 @@ SELECT doc_id, n_grams, n_contaminated, n_contaminated > 0 AS contaminated FROM 
     "mm_dedup_clusters" -> (mmDedupClusters _),
     "mm_caption_mismatch" -> (mmCaptionMismatch _),
     "mm_frame_sample" -> (mmFrameSample _),
-    "mm_audio_features" -> (mmAudioFeatures _))
+    "mm_audio_features" -> (mmAudioFeatures _),
+    "pipeline_canonical" -> (pipelineCanonical _))
 
   lazy val oracles: Map[String, String] = Map(
     "ann_topk" -> annTopKSql,
@@ -1476,6 +1569,7 @@ SELECT doc_id, n_grams, n_contaminated, n_contaminated > 0 AS contaminated FROM 
     "mm_caption_mismatch" -> mmCaptionMismatchSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_audio_features" -> mmAudioFeaturesSql,
+    "pipeline_canonical" -> pipelineCanonicalSql,
     "refine_clusters" -> (s"""WITH RECURSIVE ${OracleGen.nrmCte},
 ${OracleGen.wordNgramCtes(Queries.ngramN)},
 ${OracleGen.invertedIndexCandsCte},

@@ -316,12 +316,6 @@ ${OracleGen.ccSql}"""
        count(DISTINCT l_orderkey) AS n_orders
        FROM lineitem GROUP BY 1, 2"""
 
-  /** Flagship: full near-dup clustering over documents (placeholder until
-    * the multi-pass pipeline lands; currently CC over ngram edges).
-    */
-  def pipelineClusters(spark: SparkSession, dir: String): DataFrame =
-    ccClusters(spark, dir)
-
   // ------------------------------------------------------------ registry
 
   // lazy: breaks the Queries <-> ExtQueries init cycle (see ExtQueries.all)

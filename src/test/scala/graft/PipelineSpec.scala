@@ -31,52 +31,19 @@ class PipelineSpec extends AnyFunSuite {
   val n = 1000L
   val seed = 42L
 
-  // ---------------------------------------------------------- naive oracle
+  // ------------------------------------- naive oracle (shared, main scope)
 
-  final case class OFeat(id: String, norm: String, shs: Set[Int],
-                         phash: Long, simhash: Long, chash: String)
+  import graft.gen.PipeOracle
+  type OFeat = PipeOracle.OFeat
 
-  def oracleFeatures(recs: Seq[ImageGen.GenRecord]): Seq[OFeat] = recs.map { r =>
-    val norm = Signatures.normalize(r.caption)
-    OFeat(r.image_id, norm,
-      Signatures.shingles(norm, cfg.shingleK).map(Signatures.fastHash32).toSet,
-      r.phash,
-      Signatures.simHashWith(Signatures.words(norm), cfg.simhashBits, Signatures.fastHash),
-      java.security.MessageDigest.getInstance("MD5").digest(r.bytes)
-        .map(b => f"$b%02x").mkString)
-  }
+  def oracleFeatures(recs: Seq[ImageGen.GenRecord]): Seq[OFeat] =
+    PipeOracle.oracleFeatures(recs, cfg)
 
-  /** The verify cascade's exact semantics, applied to an arbitrary pair. */
-  def oracleDuplicate(a: OFeat, b: OFeat): Boolean = {
-    if (a.chash == b.chash) return true
-    val contains =
-      (a.norm.length <= b.norm.length && a.norm.length >= cfg.shingleK && b.norm.contains(a.norm)) ||
-      (b.norm.length < a.norm.length && b.norm.length >= cfg.shingleK && a.norm.contains(b.norm))
-    if (contains) return true
-    val u = (a.shs ++ b.shs).size
-    val jac = if (u == 0) 1.0 else (a.shs & b.shs).size.toDouble / u
-    val ph = 1.0 - Signatures.hamming(a.phash, b.phash) / 64.0
-    val sh = 1.0 - Signatures.hamming(a.simhash, b.simhash) / cfg.simhashBits.toDouble
-    if (jac < 0.05 && ph < 0.7 && sh < 0.7) return false
-    (2 * jac + ph + sh) / 4 >= cfg.jaccardThreshold
-  }
+  def oracleDuplicate(a: OFeat, b: OFeat): Boolean =
+    PipeOracle.oracleDuplicate(a, b, cfg)
 
-  /** Union-find transitive closure (the reference's TC semantics). */
-  def unionFind(ids: Seq[String], dupPairs: Seq[(String, String)]): Map[String, String] = {
-    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
-    def find(x: String): String = {
-      var r = x
-      while (parent(r) != r) r = parent(r)
-      var c = x
-      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
-      r
-    }
-    dupPairs.foreach { case (a, b) =>
-      val ra = find(a); val rb = find(b)
-      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-    }
-    ids.map(i => i -> find(i)).toMap
-  }
+  def unionFind(ids: Seq[String], dupPairs: Seq[(String, String)]): Map[String, String] =
+    PipeOracle.unionFind(ids, dupPairs)
 
   def intraPairs(assign: Map[String, String]): Set[(String, String)] =
     assign.groupBy(_._2).values.flatMap { m =>
