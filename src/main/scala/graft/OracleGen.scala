@@ -163,6 +163,58 @@ cands AS (
   FROM bok k JOIN bkeys a ON a.key = k.key JOIN bkeys b ON b.key = k.key AND a.vec_id < b.vec_id)"""
   }
 
+  /** Multi-probe SRP-LSH top-k CTEs mirroring Embeddings.lshTopKMultiProbe
+    * exactly: literal ±1 hyperplanes, per-(vector, bit) projections, base
+    * band keys (sign bits, local bit p of band i = global bit i·per+p),
+    * index bucket cap over the FULL corpus bucketing, query-side probe
+    * expansion by flipping the `probes` least-|projection| bits per band
+    * (ties to the lower bit index), candidate dedup BEFORE the exact-cosine
+    * verify, then the per-query top-k window. All arithmetic is the same
+    * sequential `list_dot_product` fold / integer banding as the engine.
+    */
+  def srpMultiProbeCtes(dim: Int, bits: Int, bands: Int, probes: Int,
+                        seed: Long, cap: Int, queryMod: Int, k: Int): String = {
+    val per = bits / bands
+    val projList = (0 until bits).map { b =>
+      val plane = (0 until dim).map(d =>
+        if ((Signatures.hash60(s"srp:$seed:$b:$d") & 1L) == 1L) "1.0" else "-1.0").mkString(", ")
+      s"list_dot_product(v, [$plane])"
+    }.mkString(",\n    ")
+    val cos = "list_dot_product(x.v, y.v) / " +
+      "(sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))"
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sp AS (SELECT vec_id, [$projList] AS ps FROM e),
+pr AS (
+  SELECT vec_id, unnest(ps) AS s, unnest(generate_series(0, ${bits - 1})) AS b
+  FROM sp),
+bk AS (
+  SELECT vec_id, b // $per AS band,
+    CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << (b % $per) ELSE 0 END) AS BIGINT) AS base
+  FROM pr GROUP BY 1, 2),
+ikok AS (SELECT band, base FROM bk GROUP BY 1, 2 HAVING count(*) <= $cap),
+flips AS (
+  SELECT vec_id, b // $per AS band, b % $per AS p,
+    row_number() OVER (PARTITION BY vec_id, b // $per ORDER BY abs(s), b % $per) AS rk
+  FROM pr),
+qk AS (
+  SELECT vec_id, band, base AS bkey FROM bk WHERE vec_id % $queryMod = 0
+  UNION ALL
+  SELECT f.vec_id, f.band, xor(q.base, 1::BIGINT << f.p) AS bkey
+  FROM flips f JOIN bk q ON q.vec_id = f.vec_id AND q.band = f.band
+  WHERE f.rk <= $probes AND f.vec_id % $queryMod = 0),
+cands AS (
+  SELECT DISTINCT qk.vec_id AS query_id, i.vec_id AS neighbor_id
+  FROM qk
+  JOIN bk i ON i.band = qk.band AND i.base = qk.bkey AND i.vec_id <> qk.vec_id
+  JOIN ikok ok ON ok.band = i.band AND ok.base = i.base),
+s AS (
+  SELECT c.query_id, c.neighbor_id, $cos AS cosine
+  FROM cands c JOIN e x ON x.vec_id = c.query_id JOIN e y ON y.vec_id = c.neighbor_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM r WHERE rank <= $k"""
+  }
+
   /** IVF cell-assignment CTEs mirroring Embeddings.ivfTopK: the centroids
     * are deterministic hash60-derived literals; cell score
     * s_c = list_dot_product(v, C_c) − ||C_c||²/2 reproduces the Spark UDF's

@@ -228,7 +228,8 @@ object Blocking {
     * Catalyst plans the shuffle.
     */
   def substringPairs(records: DataFrame, idCol: String, normCol: String, k: Int,
-                     cap: Option[Int] = None): DataFrame = {
+                     cap: Option[Int] = None,
+                     maxCollectedKeys: Int = 16000000): DataFrame = {
     // keys are xxhash64 of the k-gram, not the k-gram string: the index
     // explodes ~|text| keys per record, so hashing cuts the shuffled key
     // bytes and replaces string-compare joins with long joins. A hash
@@ -260,20 +261,37 @@ object Blocking {
     // MATCHING keys (typically a handful), so the explode and the join
     // machinery never see the non-matches (measured 9.7 s -> ~2 s at
     // sf0.1; the old form shuffled ~10^8 exploded rows). This is the
-    // broadcast-build side of a hash join expressed as an expression; at
-    // the 100 TB target the key set is one slim column of the SHORT-text
-    // probe subset — if it outgrows driver memory, shard it and union the
-    // candidate frames (semantics unchanged).
-    val probeKeys: Array[Long] = probe.select(col("key")).distinct()
-      .collect().map(_.getLong(0)).sorted
-    val matchedKeys = graft.functions.GraftColumnBridgeOps.keysInSortedSet(
-      Signatures.hashedShinglesCol(col(normCol), k), probeKeys)
-    val index = records.select(col(idCol).as("iid"),
-      explode(matchedKeys).as("key"))
-    val candIds = broadcast(probe.select(col("pid"), col("key")))
-      .join(index, Seq("key"))
-      .where(col("pid") =!= col("iid"))
-      .select(col("pid"), col("iid"))
+    // broadcast-build side of a hash join expressed as an expression.
+    //
+    // Driver-memory guard: the collect is bounded by `maxCollectedKeys`
+    // (LIMIT max+1 — ONE job detects overflow AND fetches the set, and the
+    // driver never holds more than max+1 longs). Past the bound — a 10^12-
+    // row corpus with a large short-text fraction would be ~TBs of keys —
+    // the pass switches to the fully-distributed inverted-index join: every
+    // k-gram explodes and shuffle-joins against the probe keys. Same pair
+    // set (gated by OpsSpec "substring fallback" pair-set equality), no
+    // driver state; it trades the merge-scan pruning for shuffle, which is
+    // the right trade only when the build side stops fitting.
+    val probeKeyRows = probe.select(col("key")).distinct()
+      .limit(maxCollectedKeys + 1).collect()
+    val candIds = if (probeKeyRows.length <= maxCollectedKeys) {
+      val probeKeys: Array[Long] = probeKeyRows.map(_.getLong(0)).sorted
+      val matchedKeys = graft.functions.GraftColumnBridgeOps.keysInSortedSet(
+        Signatures.hashedShinglesCol(col(normCol), k), probeKeys)
+      val index = records.select(col(idCol).as("iid"),
+        explode(matchedKeys).as("key"))
+      broadcast(probe.select(col("pid"), col("key")))
+        .join(index, Seq("key"))
+        .where(col("pid") =!= col("iid"))
+        .select(col("pid"), col("iid"))
+    } else {
+      val index = records.select(col(idCol).as("iid"),
+        explode(Signatures.hashedShinglesCol(col(normCol), k)).as("key"))
+      probe.select(col("pid"), col("key"))
+        .join(index, Seq("key"))
+        .where(col("pid") =!= col("iid"))
+        .select(col("pid"), col("iid"))
+    }
     candIds
       .join(records.select(col(idCol).as("pid"), col(normCol).as("ptext")), Seq("pid"))
       .join(records.select(col(idCol).as("iid"), col(normCol).as("itext")), Seq("iid"))

@@ -136,6 +136,33 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("substring fallback (probe keys past the collect bound) emits the same pair set") {
+    import spark.implicits._
+    // planted containments: short texts embedded in longer ones, plus junk
+    val rng = new scala.util.Random(11)
+    val shorts = (0 until 40).map(i =>
+      (s"s$i%03d", (0 until 6 + rng.nextInt(5)).map(_ => ('a' + rng.nextInt(4)).toChar).mkString))
+    val longs = shorts.zipWithIndex.map { case ((_, t), i) =>
+      (f"l$i%03d", s"xx$t yy zz$i")
+    }
+    val junk = (0 until 60).map(i => (f"j$i%03d", s"qqq${rng.nextInt(100000)}www$i"))
+    val df = (shorts ++ longs ++ junk).toDF("id", "norm")
+    val k = 5
+    val collected = Blocking.substringPairs(df, "id", "norm", k)
+    val sharded = Blocking.substringPairs(df, "id", "norm", k, maxCollectedKeys = 0)
+    // the threshold switch exists: the bounded path plans the native
+    // merge-scan expression, the fallback must NOT (it's the distributed
+    // inverted-index join with no driver-collected state)
+    assert(collected.queryExecution.executedPlan.toString.toLowerCase
+      .contains("keysinsortedset"), "default path should use KeysInSortedSet")
+    assert(!sharded.queryExecution.executedPlan.toString.toLowerCase
+      .contains("keysinsortedset"), "fallback must not collect probe keys")
+    val a = collected.as[(String, String)].collect().toSet
+    val b = sharded.as[(String, String)].collect().toSet
+    assert(a.nonEmpty, "planted containments must produce pairs")
+    assert(a == b, s"pair sets differ: only-default=${a -- b} only-fallback=${b -- a}")
+  }
+
   test("catalog SNM plan has no single-partition Window") {
     val cust = spark.range(0, 100).selectExpr("id AS c_custkey", "concat('n', id % 7) AS c_name")
     val plan = formatted(Blocking.snmPairsScalable(cust, "c_custkey", col("c_name"), 3))
