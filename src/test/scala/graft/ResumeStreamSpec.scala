@@ -130,6 +130,55 @@ class ResumeStreamSpec extends AnyFunSuite {
     assert(got("c") == "r4")
   }
 
+  test("streaming: online cluster re-emission matches batch CC on the same edge sequence " +
+      "(ref OnlineDuplicateDetection.java:34-65)") {
+    import spark.implicits._
+    val dir = tmpDir("graft-oc-in")
+    val cpDir = tmpDir("graft-oc-cp")
+
+    def addBatch(edges: Seq[(String, String)]): Unit =
+      edges.toDF("id1", "id2").coalesce(1).write.mode("append").parquet(dir)
+
+    addBatch(Seq(("b", "a"), ("c", "d")))
+    val stream = spark.readStream.schema("id1 string, id2 string").parquet(dir)
+    val q = graft.streaming.OnlineClustering.clusterUpdates(stream)
+      .writeStream.outputMode("append").format("memory").queryName("oc")
+      .option("checkpointLocation", cpDir)
+      .start()
+    q.processAllAvailable()
+    def rows(): Seq[(String, String)] =
+      spark.table("oc").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val d1 = rows()
+    assert(d1.toSet == Set("a" -> "a", "b" -> "a", "c" -> "c", "d" -> "c"),
+      s"batch 1 emits both new clusters: $d1")
+
+    // batch 2 merges the two clusters: the absorbed cluster (c, d) MUST
+    // re-emit under the surviving id — "one record in, updated clusters out"
+    addBatch(Seq(("b", "c")))
+    q.processAllAvailable()
+    val d2 = rows().drop(d1.size)
+    assert(d2.toSet == Set("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a"),
+      s"merge must re-emit every member of the merged cluster: $d2")
+
+    // batch 3 touches only a NEW cluster: nothing else re-emits
+    addBatch(Seq(("e", "f")))
+    q.processAllAvailable()
+    val d3 = rows().drop(d1.size + d2.size)
+    assert(d3.toSet == Set("e" -> "e", "f" -> "e"),
+      s"untouched clusters must not re-emit: $d3")
+    q.stop()
+
+    // latest emission per id == the batch transitive closure over the full
+    // edge sequence (the distributed path the stream must agree with)
+    val latest = (d1 ++ d2 ++ d3).foldLeft(Map.empty[String, String])(_ + _)
+    val allEdges = Seq(("b", "a"), ("c", "d"), ("b", "c"), ("e", "f")).toDF("src", "dst")
+    val ids = Seq("a", "b", "c", "d", "e", "f").toDF("id")
+    val batchAssign = ConnectedComponents.assignAll(ids, "id", allEdges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(latest == batchAssign,
+      s"stream state $latest must equal batch CC $batchAssign")
+  }
+
   test("streaming: first-per-key state expires after its event-time TTL and the key re-emits") {
     import spark.implicits._
     // Event-time TTL (firstPerKeyEventTime): eviction is driven by the
