@@ -1510,6 +1510,26 @@ tr AS (
   GROUP BY 1)
 SELECT doc_id, n_grams, n_contaminated, n_contaminated > 0 AS contaminated FROM tr"""
 
+  /** Cross-doc duplicated-span fractions over word 5-grams (Lee et al.
+    * 2022 shape; TextAnalysis.dupSpans). Per-doc distinct hashed grams ->
+    * document frequency -> per-doc duplicated fraction.
+    */
+  val dupspanN = 5
+
+  def ddDupspan(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dupSpans(table(spark, dir, "documents"), "text", dupspanN)
+
+  private val ddDupspanSql =
+    s"""WITH ${OracleGen.nrmCte},
+${OracleGen.wordNgramCtes(dupspanN)},
+g AS (SELECT doc_id, ${Signatures.hash60Sql("sh")} AS g FROM sh),
+df AS (SELECT g, count(*) AS df FROM g GROUP BY 1)
+SELECT t.doc_id, count(*) AS n_grams,
+  CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+  CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
+FROM g t JOIN df d ON d.g = t.g
+GROUP BY 1"""
+
   // ---------------------------------------------- flagship pipeline oracle
 
   /** Full 6-stage dedup pipeline (features -> multi-pass blocking -> rule
@@ -1632,6 +1652,7 @@ JOIN fmtr f ON f.exp_cluster = cl.exp_cluster AND f.rn = 1"""
     "ta_oov" -> (taOov _),
     "ta_pii" -> (taPii _),
     "dd_decontam" -> (ddDecontam _),
+    "dd_dupspan" -> (ddDupspan _),
     "dd_url" -> (ddUrl _),
     "ds_pack" -> (dsPack _),
     "ev_windows" -> (evWindows _),
@@ -1682,6 +1703,7 @@ JOIN fmtr f ON f.exp_cluster = cl.exp_cluster AND f.rn = 1"""
     "ta_oov" -> taOovSql,
     "ta_pii" -> taPiiSql,
     "dd_decontam" -> ddDecontamSql,
+    "dd_dupspan" -> ddDupspanSql,
     "dd_url" -> ddUrlSql,
     "ds_pack" -> dsPackSql,
     "ev_windows" -> evWindowsSql,

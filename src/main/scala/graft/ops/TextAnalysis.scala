@@ -210,6 +210,38 @@ object TextAnalysis {
       .withColumn("contaminated", col("n_contaminated") > 0)
   }
 
+  /** Cross-document duplicated-span detection (the distributed reshaping of
+    * Lee et al. 2022's suffix-array pass, arXiv:2107.06499): a word n-gram
+    * is a duplicated span iff it occurs in >= 2 distinct documents; each
+    * document reports how much of it is made of such spans. Corpora keep
+    * documents whose `dup_frac` is low and trim/drop the rest.
+    *
+    * Scale shape: grams are per-doc DISTINCT (map-side `array_distinct`
+    * inside the codegen'd n-gram expression) and keyed by hash60 — the
+    * document-frequency groupBy and the gram->df join both move 8-byte
+    * keys, never 5-word strings. Two exchanges on `g` total (the df agg and
+    * the join probe; AQE reuses the agg's partitioning for the join side),
+    * then one partial-combined per-doc rollup. No driver collect, no
+    * broadcast of corpus-sized state — df is computed and joined in place,
+    * which is the only shape that survives when the "dictionary" of
+    * duplicated grams is itself corpus-sized (unlike ta_oov's broadcast
+    * vocab, which is top-k-bounded).
+    */
+  def dupSpans(docs: DataFrame, textCol: String, n: Int = 5): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"),
+        explode(Signatures.wordNgramsCol(Signatures.normalizeCol(col(textCol)), n))
+          .as("gram"))
+      .select(col("doc_id"), Signatures.hash60Col(col("gram")).as("g"))
+    val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    grams.join(df, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac", col("n_dup").cast("double") / col("n_grams"))
+  }
+
   /** PII detection patterns, shared verbatim with the DuckDB oracle (both
     * engines run them: Java regex here, RE2 there — the ta_pii hash gate IS
     * the cross-engine parity proof). Character classes and bounded

@@ -914,4 +914,26 @@ class OpsSpec extends AnyFunSuite {
     assert(m(2L).getLong(1) == 1 && m(2L).getLong(2) == 0 && !m(2L).getBoolean(3))
     assert(m(3L).getLong(1) == 1 && m(3L).getLong(2) == 0 && !m(3L).getBoolean(3))
   }
+
+  test("dupSpans: cross-doc duplicated-gram fractions, within-doc repeats " +
+    "count once, short-doc whole-text gram, empty doc absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d"),  // grams {a b, b c, c d}
+      (1L, "a b c x"),  // grams {a b, b c, c x}: shares 2 of 3 with doc 0
+      (2L, "z z z"),    // gram "z z" repeats WITHIN the doc only: not a dup
+      (3L, "q"),        // < n words: whole text is the single gram
+      (4L, "q extra"),  // gram "q extra" — does NOT match doc 3's gram "q"
+      (5L, ""))         // empty -> absent from the output
+      .toDF("doc_id", "text")
+    val m = graft.ops.TextAnalysis.dupSpans(docs, "text", n = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(m(0L).getLong(1) == 3 && m(0L).getLong(2) == 2)
+    assert(math.abs(m(0L).getDouble(3) - 2.0 / 3) < 1e-12)
+    assert(m(1L).getLong(1) == 3 && m(1L).getLong(2) == 2)
+    assert(m(2L).getLong(1) == 1 && m(2L).getLong(2) == 0)
+    assert(m(3L).getLong(1) == 1 && m(3L).getLong(2) == 0)
+    assert(m(4L).getLong(1) == 1 && m(4L).getLong(2) == 0)
+  }
 }
