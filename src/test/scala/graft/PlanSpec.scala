@@ -280,6 +280,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"window form must plan no joins:\n$plan")
   }
 
+  test("dd_dupspan plans three exchanges: df agg on g, join probe on g, " +
+    "per-doc rollup — the join reuses the agg's partitioning") {
+    import spark.implicits._
+    // force the SMJ shape the corpus-scale plan has: the df side is itself
+    // corpus-sized there, so a broadcast (which tiny test stats would pick)
+    // is exactly the plan that must NOT be assumed
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = (0L until 50L)
+        .map(i => (i, s"w${i % 7} w${(i + 1) % 7} w${(i + 2) % 7} tail$i"))
+        .toDF("doc_id", "text")
+      val plan = formatted(graft.ops.TextAnalysis.dupSpans(docs, "text", 2))
+      val exchanges = plan.linesIterator.count(l =>
+        l.contains(") Exchange") || l.trim.startsWith("Exchange"))
+      assert(exchanges == 3,
+        s"df agg + join probe + doc rollup must be the only shuffles, got $exchanges:\n$plan")
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"no single-partition stage anywhere:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("ta_pii is a shuffle-free codegen'd row map") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-pii").toString
