@@ -1078,6 +1078,46 @@ SELECT n AS image_id, min(r) AS cluster_id FROM reach GROUP BY 1"""
 FROM read_parquet('$mmVideoMetaPath/*.parquet')
 WHERE frame_idx % $mmFrameEvery = 0"""
 
+  /** Near-duplicate video detection end-to-end: the corpus plants exact
+    * and trimmed reposts (VideoGen.generateCorpus), the query decodes the
+    * containers and pairs videos on shared frame signatures with Jaccard
+    * >= threshold, the oracle computes the same pairs from the generator's
+    * per-frame truth (never the bytes) — a wrong stride, header parse, or
+    * frame slice breaks the hash. Cap mirrored like dd_ngram_jaccard's.
+    */
+  val mmVideoDupN = 360L   // 300 originals + 60 planted reposts
+  val mmVideoDupThreshold = 0.5
+  private val mmVideoDupMetaPath =
+    s"/tmp/graft_video_dup_meta_n${mmVideoDupN}_o${mmVideoN}_s${mmVideoSeed}_v1"
+
+  def mmVideoDupes(spark: SparkSession, dir: String): DataFrame = {
+    ensureSideTable(mmVideoDupMetaPath) {
+      graft.gen.VideoGen.generateCorpusMeta(spark, mmVideoDupN, mmVideoN,
+        seed = mmVideoSeed).toDF()
+    }
+    val videos = graft.gen.VideoGen.generateCorpus(spark, mmVideoDupN, mmVideoN,
+      seed = mmVideoSeed).toDF()
+    Multimodal.videoDupes(videos, mmVideoDupThreshold, Queries.bucketCap)
+  }
+
+  private val mmVideoDupesSql =
+    s"""WITH fm AS (
+  SELECT DISTINCT video_id, luma_sum AS sig
+  FROM read_parquet('$mmVideoDupMetaPath/*.parquet')),
+cnt AS (SELECT video_id, count(*) AS n FROM fm GROUP BY 1),
+keyok AS (SELECT sig FROM fm GROUP BY sig HAVING count(*) BETWEEN 2 AND ${Queries.bucketCap}),
+inter AS (
+  SELECT a.video_id AS video_id1, b.video_id AS video_id2, count(*) AS n_common
+  FROM fm a JOIN keyok k ON k.sig = a.sig
+  JOIN fm b ON b.sig = a.sig AND a.video_id < b.video_id
+  GROUP BY 1, 2)
+SELECT i.video_id1, i.video_id2, i.n_common, c1.n AS n1, c2.n AS n2,
+  CAST(i.n_common AS DOUBLE) / (c1.n + c2.n - i.n_common) AS jaccard
+FROM inter i
+JOIN cnt c1 ON c1.video_id = i.video_id1
+JOIN cnt c2 ON c2.video_id = i.video_id2
+WHERE CAST(i.n_common AS DOUBLE) / (c1.n + c2.n - i.n_common) >= $mmVideoDupThreshold"""
+
   /** Audio feature extraction end-to-end gate, same design as
     * mm_frame_sample: the query decodes the PCM container, the oracle
     * reads per-clip truth computed from the sample function (never the
@@ -1676,6 +1716,7 @@ JOIN fmtr f ON f.exp_cluster = cl.exp_cluster AND f.rn = 1"""
     "mm_dedup_clusters" -> (mmDedupClusters _),
     "mm_caption_mismatch" -> (mmCaptionMismatch _),
     "mm_frame_sample" -> (mmFrameSample _),
+    "mm_video_dupes" -> (mmVideoDupes _),
     "mm_audio_features" -> (mmAudioFeatures _),
     "pipeline_canonical" -> (pipelineCanonical _))
 
@@ -1725,6 +1766,7 @@ JOIN fmtr f ON f.exp_cluster = cl.exp_cluster AND f.rn = 1"""
     "mm_dedup_clusters" -> mmDedupClustersSql,
     "mm_caption_mismatch" -> mmCaptionMismatchSql,
     "mm_frame_sample" -> mmFrameSampleSql,
+    "mm_video_dupes" -> mmVideoDupesSql,
     "mm_audio_features" -> mmAudioFeaturesSql,
     "pipeline_canonical" -> pipelineCanonicalSql,
     "refine_clusters" -> (s"""WITH RECURSIVE ${OracleGen.nrmCte},

@@ -81,6 +81,77 @@ object VideoGen {
     spark.range(0, n, 1, partitions).mapPartitions(_.map(i => record(seed, i)))
   }
 
+  // ------------------------------------------- corpus with planted dupes
+
+  /** Which frame range of the base video a duplicate re-posts: exact
+    * repost / leading trim / trailing trim (the classic clipped-repost
+    * shapes). f >= 8 by [[dims]], so a trim always leaves >= 6 frames.
+    */
+  private def dupSlice(seed: Long, i: Long, f: Int): (Int, Int) =
+    ((ImageGen.mix(seed, i, 311) >>> 8) % 3).toInt match {
+      case 0 => (0, f)     // exact repost
+      case 1 => (2, f)     // leading frames trimmed
+      case _ => (0, f - 2) // trailing frames trimmed
+    }
+
+  /** Corpus row: indices [0, nOrig) are the originals of [[record]];
+    * indices >= nOrig are planted near-duplicates — a seeded base video's
+    * frames re-containered over a [[dupSlice]] range under a new id.
+    */
+  def recordCorpus(seed: Long, i: Long, nOrig: Long): VideoRecord = {
+    if (i < nOrig) record(seed, i)
+    else {
+      val base = (ImageGen.mix(seed, i, 310) >>> 8) % nOrig
+      val (w, h, f) = dims(seed, base)
+      val (from, until) = dupSlice(seed, i, f)
+      val nf = until - from
+      val bytes = new Array[Byte](16 + nf * w * h)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      bb.putInt(Magic); bb.putInt(w); bb.putInt(h); bb.putInt(nf)
+      var fr = from
+      while (fr < until) {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { bb.put(pixel(seed, base, fr, w, x, y)); x += 1 }
+          y += 1
+        }
+        fr += 1
+      }
+      VideoRecord(f"vid$i%08d", bytes, w, h, nf)
+    }
+  }
+
+  def generateCorpus(spark: SparkSession, n: Long, nOrig: Long, seed: Long = 11L,
+                     partitions: Int = 8): Dataset[VideoRecord] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions)
+      .mapPartitions(_.map(i => recordCorpus(seed, i, nOrig)))
+  }
+
+  /** Per-frame truth for the corpus (originals + duplicates), computed from
+    * the pixel function alone — duplicates carry the base's luma sums over
+    * their slice, re-indexed from 0, exactly what decoding their container
+    * must reproduce.
+    */
+  def frameMetaCorpus(seed: Long, i: Long, nOrig: Long): Seq[FrameMeta] = {
+    if (i < nOrig) frameMeta(seed, i)
+    else {
+      val base = (ImageGen.mix(seed, i, 310) >>> 8) % nOrig
+      val (_, _, f) = dims(seed, base)
+      val (from, until) = dupSlice(seed, i, f)
+      frameMeta(seed, base).slice(from, until).zipWithIndex.map {
+        case (m, idx) => FrameMeta(f"vid$i%08d", idx, m.luma_sum)
+      }
+    }
+  }
+
+  def generateCorpusMeta(spark: SparkSession, n: Long, nOrig: Long, seed: Long = 11L,
+                         partitions: Int = 8): Dataset[FrameMeta] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).flatMap(i => frameMetaCorpus(seed, i, nOrig))
+  }
+
   def generateMeta(spark: SparkSession, n: Long, seed: Long = 11L,
                    partitions: Int = 8): Dataset[FrameMeta] = {
     import spark.implicits._

@@ -116,6 +116,45 @@ object Multimodal {
       }
   }
 
+  /** Near-duplicate VIDEO detection over frame signatures — the video
+    * analog of document n-gram Jaccard (the clipped-repost / re-container
+    * case exact byte hashing misses). Decode each container once
+    * ([[frameSample]] stride 1: bytes die in the scan stage), reduce every
+    * video to its DISTINCT frame-signature set, inverted-index videos by
+    * shared signature (bucket-capped — a degenerate signature like an
+    * all-black frame would otherwise pair quadratically), and keep pairs
+    * whose signature-set Jaccard clears `threshold`.
+    *
+    * Scale shape: payload bytes never shuffle — after decode, a video is
+    * (id, sig) rows. One exchange each for the per-video distinct, the
+    * signature self-join (both sides co-partitioned on sig), and the pair
+    * rollup; the per-video counts ride the distinct's partitioning. Trimmed
+    * reposts survive because Jaccard over frame SETS degrades gently with
+    * clipping ((f-2)/f for a 2-frame trim), while the threshold kills
+    * accidental single-frame collisions.
+    */
+  def videoDupes(videos: DataFrame, threshold: Double, cap: Int): DataFrame = {
+    val sigs = frameSample(videos, 1).toDF()
+      .select(col("video_id"), col("luma_sum").as("sig")).distinct()
+    val cnt = sigs.groupBy(col("video_id")).agg(count(lit(1)).as("n"))
+    val keyOk = sigs.groupBy(col("sig")).agg(count(lit(1)).as("bn"))
+      .where(col("bn").between(2, cap)).select(col("sig"))
+    val inter = sigs.join(keyOk, Seq("sig"))
+      .select(col("sig"), col("video_id").as("video_id1"))
+      .join(sigs.select(col("sig"), col("video_id").as("video_id2")), Seq("sig"))
+      .where(col("video_id1") < col("video_id2"))
+      .groupBy(col("video_id1"), col("video_id2"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(cnt.select(col("video_id").as("video_id1"), col("n").as("n1")), Seq("video_id1"))
+      .join(cnt.select(col("video_id").as("video_id2"), col("n").as("n2")), Seq("video_id2"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")))
+      .where(col("jaccard") >= threshold)
+      .select(col("video_id1"), col("video_id2"), col("n_common"),
+        col("n1"), col("n2"), col("jaccard"))
+  }
+
   final case class AudioFeatures(
       audio_id: String, sample_rate: Int, n_samples: Int,
       sum_abs: Long, peak: Int, zero_crossings: Long)

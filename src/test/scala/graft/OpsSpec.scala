@@ -915,6 +915,36 @@ class OpsSpec extends AnyFunSuite {
     assert(m(3L).getLong(1) == 1 && m(3L).getLong(2) == 0 && !m(3L).getBoolean(3))
   }
 
+  test("videoDupes: exact repost scores jaccard 1.0, trimmed repost (f-2)/f, " +
+    "unrelated videos below threshold") {
+    import spark.implicits._
+    val n = 40L; val nOrig = 30L
+    val videos = graft.gen.VideoGen.generateCorpus(spark, n, nOrig, seed = 11L).toDF()
+    val pairs = graft.ops.Multimodal.videoDupes(videos, threshold = 0.5, cap = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(pairs.nonEmpty)
+    // every planted dup pairs with its base at the slice-predicted jaccard
+    (nOrig until n).foreach { i =>
+      val base = (graft.gen.ImageGen.mix(11L, i, 310) >>> 8) % nOrig
+      val meta = graft.gen.VideoGen.frameMetaCorpus(11L, i, nOrig)
+      val baseMeta = graft.gen.VideoGen.frameMeta(11L, base)
+      val shared = meta.map(_.luma_sum).toSet
+        .intersect(baseMeta.map(_.luma_sum).toSet).size
+      val expJ = shared.toDouble /
+        (meta.map(_.luma_sum).toSet.size + baseMeta.map(_.luma_sum).toSet.size - shared)
+      val key = (f"vid$base%08d", f"vid$i%08d")
+      assert(pairs.contains(key), s"planted dup pair $key missing")
+      assert(math.abs(pairs(key).getDouble(5) - expJ) < 1e-12)
+      assert(expJ >= 0.5, s"generator must plant above-threshold dups, got $expJ")
+    }
+    // no pair of two distinct ORIGINALS clears the threshold (collision
+    // single-frame overlaps stay far below 0.5)
+    pairs.keys.foreach { case (a, b) =>
+      val ai = a.drop(3).toLong; val bi = b.drop(3).toLong
+      assert(ai >= nOrig || bi >= nOrig, s"original pair ($a,$b) above threshold")
+    }
+  }
+
   test("dupSpans: cross-doc duplicated-gram fractions, within-doc repeats " +
     "count once, short-doc whole-text gram, empty doc absent") {
     import spark.implicits._
