@@ -82,7 +82,11 @@ cands AS (
     * perms VALUES table, per-(doc, perm) min, band keys as
     * 'band:v1,v2,...,vr' strings, band-equality pairing.
     */
-  def minHashCandsCtes(cfg: DedupConfig): String = {
+  /** MinHash band-index CTEs only (perms, mv, bk) — bk(doc_id, key) is the
+    * band-key index shared by the all-pairs path (minHashCandsCtes), the
+    * skew-histogram oracle, and the incremental batch-vs-corpus oracle.
+    */
+  def minHashBandCtes(cfg: DedupConfig): String = {
     val a = Signatures.seedsA(cfg.numHashes, cfg.seed)
     val b = Signatures.seedsB(cfg.numHashes, cfg.seed)
     val permRows = (0 until cfg.numHashes)
@@ -97,12 +101,15 @@ bk AS (
   SELECT doc_id,
     (i // ${cfg.rowsPerBand}) || ':' || string_agg(mv::VARCHAR, ',' ORDER BY i) AS key
   FROM mv
-  GROUP BY doc_id, i // ${cfg.rowsPerBand}),
+  GROUP BY doc_id, i // ${cfg.rowsPerBand})"""
+  }
+
+  def minHashCandsCtes(cfg: DedupConfig): String =
+    s"""${minHashBandCtes(cfg)},
 bkok AS (SELECT key FROM bk GROUP BY key HAVING count(*) BETWEEN 2 AND ${Queries.bucketCap}),
 cands AS (
   SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
   FROM bkok k JOIN bk a ON a.key = k.key JOIN bk b ON b.key = k.key AND a.doc_id < b.doc_id)"""
-  }
 
   /** SimHash CTE mirroring Signatures.simHash over word tokens (with
     * multiplicity): yields sim(doc_id, sh BIGINT). Docs with no tokens get

@@ -164,10 +164,20 @@ ${OracleGen.jaccardVerifySql(ngramJaccardT)}"""
     * verify at 0.8. The oracle mirrors every stage with identical integer
     * arithmetic, including banding.
     */
+  /** Memoized MinHash band-key index (id, key) — shared by the all-pairs
+    * LSH query, the skew histogram, and the incremental batch path, so the
+    * signature stage runs once per session/dir.
+    */
+  private def mhKeyed(spark: SparkSession, dir: String): DataFrame =
+    QueryCache.memo(spark, "mh_keyed", dir) {
+      val shs = docCharShingles(spark, dir)
+      val sig = Signatures.minHashFromHashesCol(col("shs"), lshCfg)
+      shs.select(col("id"), explode(Signatures.bandKeysCol(sig, lshCfg.bands)).as("key"))
+    }
+
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val shs = docCharShingles(spark, dir)
-    val sig = Signatures.minHashFromHashesCol(col("shs"), lshCfg)
-    val keyed = shs.select(col("id"), explode(Signatures.bandKeysCol(sig, lshCfg.bands)).as("key"))
+    val keyed = mhKeyed(spark, dir)
     val cands = Blocking.pairsFromKeys(keyed, Some(bucketCap))
     val s1 = shs.select(col("id").as("id1"), col("shs").as("sh1"))
     val s2 = shs.select(col("id").as("id2"), col("shs").as("sh2"))
@@ -182,6 +192,122 @@ ${OracleGen.jaccardVerifySql(ngramJaccardT)}"""
 ${OracleGen.charShingleCtes(lshCfg.shingleK)},
 ${OracleGen.minHashCandsCtes(lshCfg)},
 ${OracleGen.jaccardVerifySql(minhashJaccardT)}"""
+
+  /** Band-bucket skew histogram over the MinHash LSH index — the
+    * observability a 100 TB run needs BEFORE committing to a cap: for each
+    * bucket size, how many band buckets have it and how many intra-bucket
+    * pairs enumerating them would cost (`kept` marks sizes under the cap).
+    * The n=4M probe (BASELINE.md) showed the caps cut 114B pairs to 91M;
+    * this query is that measurement as a first-class operator. Pure
+    * integer arithmetic; two shuffles (key count, size rollup), both on
+    * 8-byte keys.
+    */
+  def ddSkewStats(spark: SparkSession, dir: String): DataFrame =
+    mhKeyed(spark, dir)
+      .groupBy("key").agg(count(lit(1)).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("n_buckets"))
+      .select(col("n").as("bucket_size"), col("n_buckets"),
+        expr("n * (n - 1) DIV 2 * n_buckets").as("pairs_quadratic"),
+        (col("n") <= bucketCap).as("kept"))
+
+  private val ddSkewStatsSql =
+    s"""WITH ${OracleGen.nrmCte},
+${OracleGen.charShingleCtes(lshCfg.shingleK)},
+${OracleGen.minHashBandCtes(lshCfg)},
+bs AS (SELECT key, count(*) AS n FROM bk GROUP BY 1)
+SELECT n AS bucket_size, count(*) AS n_buckets,
+  CAST(n * (n - 1) // 2 * count(*) AS BIGINT) AS pairs_quadratic,
+  n <= $bucketCap AS kept
+FROM bs GROUP BY n"""
+
+  /** Batch docs = doc_id % incrMod == 0, the "today's crawl" side; the rest
+    * is the standing corpus the batch dedupes against.
+    */
+  val incrMod = 5
+
+  /** Incremental dedup: a new batch against the EXISTING corpus — the
+    * daily-increment pattern at 100 TB, where re-clustering the standing
+    * corpus is not an option. Two layers, both one-directional (batch
+    * probes, corpus is the reusable index): exact = identical normalized
+    * content (128-bit content hash join; the standing hash index is a
+    * persisted artifact in production), near = MinHash band match +
+    * exact-Jaccard verify at the LSH threshold. Emits one row per batch
+    * doc: (doc_id, dup_of = min matching corpus id with exact taking
+    * precedence, -1 if clean; method in exact|near|unique). The batch side
+    * shuffles only its own band keys; candidate generation is capped on
+    * TOTAL bucket size with the same discipline (and the same oracle
+    * mirror) as dd_minhash_lsh.
+    */
+  def ddIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val isBatch = (col("doc_id") % incrMod) === 0
+    val norm = docNorm(spark, dir)
+    val hashed = norm.select(col("doc_id"), md5(col("norm").cast("binary")).as("h"))
+    val exact = hashed.where(isBatch)
+      .join(hashed.where(!isBatch).select(col("h"), col("doc_id").as("eid")), "h")
+      .groupBy("doc_id").agg(min(col("eid")).as("exact_of"))
+
+    val keyed = mhKeyed(spark, dir)
+    val okKeys = keyed.groupBy("key").agg(count(lit(1)).as("kn"))
+      .where(col("kn") >= 2 && col("kn") <= bucketCap).select("key")
+    val kb = keyed.where((col("id") % incrMod) === 0).join(okKeys, "key")
+    val ke = keyed.where((col("id") % incrMod) =!= 0).select(col("key"), col("id").as("eid"))
+    val cands = kb.join(ke, "key").select(col("id"), col("eid")).distinct()
+    val shs = docCharShingles(spark, dir)
+    val near = cands
+      .join(shs.select(col("id"), col("shs").as("sh1")), Seq("id"))
+      .join(shs.select(col("id").as("eid"), col("shs").as("sh2")), Seq("eid"))
+      .where(graft.functions.SortedIntersect.jaccardSorted(col("sh1"), col("sh2"))
+        >= minhashJaccardT)
+      .groupBy(col("id").as("doc_id")).agg(min(col("eid")).as("near_of"))
+
+    norm.where(isBatch).select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_of"), col("near_of"), lit(-1L)).as("dup_of"),
+        when(col("exact_of").isNotNull, "exact")
+          .when(col("near_of").isNotNull, "near")
+          .otherwise("unique").as("method"))
+  }
+
+  private val ddIncrementalSql =
+    s"""WITH ${OracleGen.nrmCte},
+${OracleGen.charShingleCtes(lshCfg.shingleK)},
+${OracleGen.minHashBandCtes(lshCfg)},
+bok AS (SELECT key FROM bk GROUP BY key HAVING count(*) BETWEEN 2 AND $bucketCap),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id, b.doc_id AS eid
+  FROM bok k
+  JOIN bk a ON a.key = k.key AND a.doc_id % $incrMod = 0
+  JOIN bk b ON b.key = k.key AND b.doc_id % $incrMod <> 0),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.id, c.eid, count(*) AS c
+  FROM cands c
+  JOIN sh s1 ON s1.doc_id = c.id
+  JOIN sh s2 ON s2.doc_id = c.eid AND s2.sh = s1.sh
+  GROUP BY 1, 2),
+near AS (
+  SELECT i.id AS doc_id, min(i.eid) AS near_of
+  FROM inter i
+  JOIN cnt c1 ON c1.doc_id = i.id
+  JOIN cnt c2 ON c2.doc_id = i.eid
+  WHERE CAST(i.c AS DOUBLE) / (c1.n + c2.n - i.c) >= $minhashJaccardT
+  GROUP BY 1),
+ex AS (
+  SELECT b.doc_id, min(e.doc_id) AS exact_of
+  FROM nrm b JOIN nrm e ON e.norm = b.norm AND e.doc_id % $incrMod <> 0
+  WHERE b.doc_id % $incrMod = 0
+  GROUP BY 1)
+SELECT n.doc_id,
+  coalesce(x.exact_of, nr.near_of, -1) AS dup_of,
+  CASE WHEN x.exact_of IS NOT NULL THEN 'exact'
+       WHEN nr.near_of IS NOT NULL THEN 'near'
+       ELSE 'unique' END AS method
+FROM nrm n
+LEFT JOIN ex x ON x.doc_id = n.doc_id
+LEFT JOIN near nr ON nr.doc_id = n.doc_id
+WHERE n.doc_id % $incrMod = 0"""
 
   /** SimHash near-dup pairs: 60-bit SimHash over word tokens, pigeonhole
     * bit-block blocking (4 x 15-bit blocks), Hamming verify.
@@ -323,6 +449,8 @@ ${OracleGen.ccSql}"""
     "dd_exact" -> (ddExact _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
+    "dd_skew_stats" -> (ddSkewStats _),
+    "dd_incremental" -> (ddIncremental _),
     "dd_simhash" -> (ddSimhash _),
     "dd_substring" -> (ddSubstring _),
     "snm_blocking" -> (snmBlocking _),
@@ -334,6 +462,8 @@ ${OracleGen.ccSql}"""
     "dd_exact" -> ddExactSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,
+    "dd_skew_stats" -> ddSkewStatsSql,
+    "dd_incremental" -> ddIncrementalSql,
     "dd_simhash" -> ddSimhashSql,
     "dd_substring" -> ddSubstringSql,
     "snm_blocking" -> snmBlockingSql,

@@ -317,6 +317,25 @@ class OpsSpec extends AnyFunSuite {
     assert(out((5L, 6L)) == "NON_DUPLICATE")
   }
 
+  test("dd_incremental exact layer: identical-content batch doc maps to min existing id") {
+    import spark.implicits._
+    // the sf0.01 oracle gate exercises near/unique; this plants an EXACT
+    // content duplicate (absent at that SF) so the hash-join layer and the
+    // exact>near precedence are covered too
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    val longA = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    Seq(
+      (0L, longA), (1L, longA), (6L, longA), // 0 = batch; 1,6 = existing copies
+      (10L, "completely different text about distributed systems and shuffle partitioning at scale"),
+      (2L, "another unrelated existing document mentioning catalyst optimizer rules")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val out = Queries.ddIncremental(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(0L) == ((1L, "exact"))) // min(1, 6), method exact beats near
+    assert(out(10L) == ((-1L, "unique")))
+    assert(out.size == 2) // exactly the batch docs
+  }
+
   test("TSV source feeds the typed dedup pipeline (PersonDeduplicationTest.java:45-67 shape)") {
     import spark.implicits._
     import graft.block.Blocking
