@@ -60,6 +60,48 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, n
       FROM s)
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM r WHERE rank <= $annK"""
 
+  /** SQ8 scalar-quantized search: per-dim min/max over the normalized
+    * corpus trains the quantizer, corpus rows become 8-bit code arrays,
+    * the O(n·queries) stage scores INTEGER squared-L2 over codes, and only
+    * the per-query shortlist re-reads the float column for exact-cosine
+    * re-rank. Unlike the PQ rows (literal codebooks so SQL can embed
+    * them), SQ's training is two order-independent aggregates — so this is
+    * the trained-quantizer ANN whose full train+encode+search path the
+    * DuckDB oracle reproduces from the raw table, no side tables.
+    */
+  val sqShortlist = 50
+
+  def annSq(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = embBase(spark, dir)
+    Embeddings.sqRerankTopK(vecs, vecs.where(col("vec_id") % annQueryMod === 0),
+      annK, sqShortlist)
+  }
+
+  private val annSqSql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv FROM e),
+el AS (
+  SELECT vec_id, unnest(nv) AS x, unnest(generate_series(1, len(nv))) AS ord
+  FROM n),
+dims AS (SELECT ord, min(x) AS mn, max(x) AS mx FROM el GROUP BY 1),
+codes AS (
+  SELECT vec_id, ord,
+    CASE WHEN mx > mn THEN least(255, CAST(floor((x - mn) * 255.0 / (mx - mn)) AS BIGINT))
+         ELSE 0 END AS c
+  FROM el JOIN dims USING (ord)),
+d AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+    sum((q.c - v.c) * (q.c - v.c)) AS dist
+  FROM codes q JOIN codes v ON v.ord = q.ord AND v.vec_id <> q.vec_id
+  WHERE q.vec_id % $annQueryMod = 0
+  GROUP BY 1, 2),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
+    FROM d) WHERE rn <= $sqShortlist),
+$pqRerankTailSql"""
+
   /** PQ-ADC shortlist + exact re-rank: the product-quantization search
     * shape (compose with IVF cells for full IVF-PQ). Catalog config uses
     * the deterministic data-independent codebook so the oracle can embed
@@ -1556,8 +1598,20 @@ SELECT doc_id, n_grams, n_contaminated, n_contaminated > 0 AS contaminated FROM 
     */
   val dupspanN = 5
 
-  def ddDupspan(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.dupSpans(table(spark, dir, "documents"), "text", dupspanN)
+  def ddDupspan(spark: SparkSession, dir: String): DataFrame = {
+    // ride the memoized + repartitioned docNorm base (the raw documents
+    // parquet scans into ~3 partitions, so the explode+hash stage — the
+    // heaviest per-row work in this query — otherwise runs 3-way on a
+    // 32-core session), and memoize the gram stage: it feeds BOTH the df
+    // aggregate and the join probe
+    val grams = QueryCache.memo(spark, "dupspan_grams", dir) {
+      Queries.docNorm(spark, dir)
+        .select(col("doc_id"),
+          explode(Signatures.wordNgramsCol(col("norm"), dupspanN)).as("gram"))
+        .select(col("doc_id"), Signatures.hash60Col(col("gram")).as("g"))
+    }
+    TextAnalysis.dupSpansFromGrams(grams)
+  }
 
   private val ddDupspanSql =
     s"""WITH ${OracleGen.nrmCte},
@@ -1670,6 +1724,7 @@ JOIN fmtr f ON f.exp_cluster = cl.exp_cluster AND f.rn = 1"""
   // library user touching ExtQueries before SparkEntry/Queries)
   lazy val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> (annTopK _),
+    "ann_sq" -> (annSq _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_pq" -> (annPq _),
@@ -1722,6 +1777,7 @@ JOIN fmtr f ON f.exp_cluster = cl.exp_cluster AND f.rn = 1"""
 
   lazy val oracles: Map[String, String] = Map(
     "ann_topk" -> annTopKSql,
+    "ann_sq" -> annSqSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
     "ann_pq" -> annPqSql,

@@ -47,7 +47,7 @@ object Queries {
     * the memo each one re-reads the parquet and re-normalizes the full
     * corpus (measured as the dominant cost of that query at sf0.1).
     */
-  private def docNorm(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def docNorm(spark: SparkSession, dir: String): DataFrame =
     QueryCache.memo(spark, "doc_norm", dir) {
       // repartition BEFORE normalize: the documents parquet lands in ~3
       // scan partitions (single-file rowgroup layout caps split

@@ -516,6 +516,69 @@ object Embeddings {
         col("cosine"))
   }
 
+  // ------------------------------------------------- scalar quantization
+
+  /** Per-dimension (min, max) of the NORMALIZED corpus — the SQ8
+    * "codebook". Distributed posexplode + per-dim min/max: both aggregates
+    * are order-independent, so the stats are bit-exact across engines and
+    * partitionings, which is why SQ is the one TRAINED (data-dependent)
+    * quantizer whose training lives fully inside the DuckDB oracle — no
+    * literal codebooks, no side tables. The collect is dim rows.
+    */
+  def sqDimStats(vectors: DataFrame): (Array[Double], Array[Double]) = {
+    val el = vectors
+      .select(posexplode(normalizedCol(col("embedding"))).as(Seq("ord", "x")))
+      .groupBy("ord").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy("ord").collect()
+    (el.map(_.getDouble(1)), el.map(_.getDouble(2)))
+  }
+
+  /** SQ8 codes of a normalized vector column: per dim
+    * `least(255, floor((x − mn) · 255 / (mx − mn)))` (0 on a constant dim)
+    * — 8-bit integer codes, a 4× cut vs float32 corpus rows (and unlike PQ
+    * the reconstruction is per-dim, so recall degrades gracefully).
+    * Builtin higher-order functions only; no UDF in the encode path.
+    */
+  def sqCodesCol(nv: Column, mins: Array[Double], maxs: Array[Double]): Column = {
+    val mnLit = typedlit(mins.toSeq)
+    val mxLit = typedlit(maxs.toSeq)
+    transform(nv, (x, i) => {
+      val mn = element_at(mnLit, i + 1)
+      val mx = element_at(mxLit, i + 1)
+      when(mx > mn, least(lit(255L), floor((x - mn) * lit(255.0) / (mx - mn))))
+        .otherwise(lit(0L))
+    })
+  }
+
+  /** SQ8 search: integer squared-L2 over code arrays shortlists, exact
+    * float cosine re-ranks — same shape as [[pqRerankTopK]] but the
+    * shortlist stage is PURE INTEGER arithmetic (deterministic across
+    * engines by construction, no IEEE ordering concerns at all). The
+    * corpus side that meets the broadcast queries carries only the code
+    * array; ties break on neighbor_id.
+    */
+  def sqRerankTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                   shortlist: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (mins, maxs) = sqDimStats(vectors)
+    val coded = vectors
+      .select(col("vec_id").as("neighbor_id"),
+        sqCodesCol(normalizedCol(col("embedding")), mins, maxs).as("sq"))
+    val q = queries
+      .select(col("vec_id").as("query_id"),
+        sqCodesCol(normalizedCol(col("embedding")), mins, maxs).as("qsq"))
+    val dist = aggregate(
+      zip_with(col("qsq"), col("sq"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, t) => acc + t)
+    val short = coded.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist", dist)
+      .withColumn("_sr", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("dist"), col("neighbor_id"))))
+      .where(col("_sr") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(short, vectors, queries, k)
+  }
+
   /** Full IVF-PQ: coarse cell pruning, PQ-ADC shortlist within the probed
     * cells only, exact re-rank — the composed 10^12-scale search layout.
     * The corpus index row is (cell:int, codes:m ints); the O(n·queries)

@@ -227,12 +227,18 @@ object TextAnalysis {
     * duplicated grams is itself corpus-sized (unlike ta_oov's broadcast
     * vocab, which is top-k-bounded).
     */
-  def dupSpans(docs: DataFrame, textCol: String, n: Int = 5): DataFrame = {
-    val grams = docs
+  def dupSpans(docs: DataFrame, textCol: String, n: Int = 5): DataFrame =
+    dupSpansFromGrams(docs
       .select(col("doc_id"),
         explode(Signatures.wordNgramsCol(Signatures.normalizeCol(col(textCol)), n))
           .as("gram"))
-      .select(col("doc_id"), Signatures.hash60Col(col("gram")).as("g"))
+      .select(col("doc_id"), Signatures.hash60Col(col("gram")).as("g")))
+
+  /** Tail of [[dupSpans]] over a prepared (doc_id, g) gram frame — lets
+    * callers memoize/persist the gram stage, which feeds both the df
+    * aggregate and the join probe.
+    */
+  def dupSpansFromGrams(grams: DataFrame): DataFrame = {
     val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
     grams.join(df, Seq("g"))
       .groupBy(col("doc_id"))

@@ -47,11 +47,43 @@ object Urls {
       when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ)))
   }
 
+  /** Staged canonicalization: semantically identical to
+    * [[canonicalize]], but each derived fragment (`_nf`, `_pre`, `_q`,
+    * `_rest`, `_host0`) is computed ONCE per row in its own projection.
+    * The single-Column form re-inlines the fragment-stripped regexp into
+    * every consumer — the final concat tree carries dozens of copies, and
+    * the optimizer + codegen pay per copy (measured: 95 s for 400 rows vs
+    * sub-second staged). CollapseProject keeps the stages separate because
+    * the aliases are non-cheap and multi-referenced; everything remains
+    * row-local (the PlanSpec one-exchange gate is unchanged).
+    */
+  def withCanonical(df: DataFrame, urlCol: String, out: String): DataFrame = {
+    val nf = col("_nf"); val pre = col("_pre"); val q = col("_q")
+    val rest = col("_rest"); val host0 = col("_host0")
+    df.withColumn("_nf", regexp_replace(col(urlCol), "#.*", ""))
+      .withColumn("_hasq", instr(nf, "?") > 0)
+      .withColumn("_pre", when(col("_hasq"), substring_index(nf, "?", 1)).otherwise(nf))
+      .withColumn("_q", when(col("_hasq"), nf.substr(instr(nf, "?") + 1, length(nf)))
+        .otherwise(lit("")))
+      .withColumn("_rest", pre.substr(instr(pre, "://") + 3, length(pre)))
+      .withColumn("_host0", substring_index(rest, "/", 1))
+      .withColumn("_sq", array_join(array_sort(filter(split(q, "&"),
+        p => !(p.startsWith("utm_") || p.startsWith("sessionid=")) && p =!= "")), "&"))
+      .withColumn(out,
+        when(instr(col(urlCol), "://") === 0, lit(null).cast("string"))
+          .otherwise(concat(
+            lower(substring_index(pre, "://", 1)), lit("://"),
+            regexp_replace(lower(host0), "^www\\.", ""),
+            regexp_replace(rest.substr(length(host0) + 1, length(rest)), "/$", ""),
+            when(col("_sq") === "", lit("")).otherwise(concat(lit("?"), col("_sq"))))))
+      .drop("_nf", "_hasq", "_pre", "_q", "_rest", "_host0", "_sq")
+  }
+
   /** One row per canonical URL: occurrence count and the minimum id as the
     * deterministic representative (the row a fetch dedup would keep).
     */
   def dedup(df: DataFrame, urlCol: String, idCol: String): DataFrame =
-    df.select(col(idCol), canonicalize(col(urlCol)).as("canonical_url"))
+    withCanonical(df.select(col(idCol), col(urlCol)), urlCol, "canonical_url")
       .where(col("canonical_url").isNotNull)
       .groupBy(col("canonical_url"))
       .agg(count(lit(1)).as("n_urls"), min(col(idCol)).as("rep_id"))

@@ -138,6 +138,32 @@ class OpsSpec extends AnyFunSuite {
     assert(bulkU >= 0.4, s"untrained (catalog) bulk recall floor: $bulkU")
   }
 
+  test("SQ8 rerank: near-dup recall@1 and bulk recall@10 through the integer shortlist") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val nearIds = Embeddings.thresholdPairs(vecs, 0.4)
+      .select(explode(array(col("id1"), col("id2"))).as("vec_id")).distinct()
+    val nearQueries = vecs.join(nearIds, Seq("vec_id"))
+    val exact1 = Embeddings.topK(vecs, nearQueries, 1).where(col("cosine") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact1.nonEmpty)
+    val got1 = Embeddings.sqRerankTopK(vecs, nearQueries, 1, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val near = (got1 & exact1).size.toDouble / exact1.size
+
+    val queries = vecs.where(col("vec_id") % 50 === 0)
+    val exact10 = Embeddings.topK(vecs, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got10 = Embeddings.sqRerankTopK(vecs, queries, 10, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bulk = (got10 & exact10).size.toDouble / exact10.size
+    info(f"SQ8 near-dup recall@1=$near%.3f (n=${exact1.size}); bulk recall@10=$bulk%.3f")
+    // 8 bits/dim is a far finer quantizer than PQ's 4 bits/subspace — near
+    // recall must be essentially exact, and even the angle-noise bulk
+    // should beat the PQ floor comfortably
+    assert(near >= 0.95, s"SQ8 must keep near-duplicates: $near")
+    assert(bulk >= 0.6, s"SQ8 bulk recall floor: $bulk")
+  }
+
   test("IVF-PQ composition: near-dup recall survives the coarse pruning") {
     val vecs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val cb = Embeddings.pqCodebooks(8, 16, 8, seed = 7L)
@@ -903,10 +929,13 @@ class OpsSpec extends AnyFunSuite {
     assert(graft.ops.Urls.dedup(junk, "url", "url_id").count() == 1)
 
     // generator round-trip: every row canonicalizes to its gold form
+    // (via the staged path — the one dedup/production uses; the nested
+    // single-Column form is covered by the hand cases above and must stay
+    // semantically identical to it)
     val gen = graft.gen.UrlGen.generate(spark, 200L, seed = 23L).toDF()
-    val bad = gen.where(graft.ops.Urls.canonicalize(col("url")) =!= col("gold_canonical"))
-      .select(col("url"), col("gold_canonical"),
-        graft.ops.Urls.canonicalize(col("url")).as("got"))
+    val bad = graft.ops.Urls.withCanonical(gen, "url", "got")
+      .where(col("got") =!= col("gold_canonical"))
+      .select(col("url"), col("gold_canonical"), col("got"))
       .head(3)
     assert(bad.isEmpty, s"canonicalize must recover gold: ${bad.mkString("; ")}")
     // group structure: base + 2 variants collapse (n=3), decoy stands alone
