@@ -309,6 +309,84 @@ LEFT JOIN ex x ON x.doc_id = n.doc_id
 LEFT JOIN near nr ON nr.doc_id = n.doc_id
 WHERE n.doc_id % $incrMod = 0"""
 
+  // Bloom membership filter: 2^20 bits (128 KB broadcast) x 5 probes.
+  // At the corpus/batch split below (~80%/20% of n docs) the load factor
+  // stays << 1 at sf0.1; production sizes m from the corpus cardinality
+  // (m ≈ -n·ln(p)/ln(2)^2) and ships a few GB per executor at 10^12 rows,
+  // which is exactly the regime where "never join the corpus for a
+  // membership test" pays for itself.
+  val bloomM = 1 << 20
+  val bloomK = 5
+
+  /** Standing-corpus membership dedup via a broadcast Bloom filter — the
+    * cheapest layer of an incremental ingest (below dd_incremental's
+    * exact+near layers): fold the corpus content fingerprints into an
+    * m-bit sketch once (shuffle-free treeAggregate), broadcast it, and
+    * test each batch doc map-side. Only BLOOM HITS proceed to the exact
+    * content-hash join, so the join's probe side shrinks from |batch| to
+    * |dups| + |false positives| — the corpus itself is never shuffled for
+    * the membership test. Positions use Kirsch–Mitzenmacher double
+    * hashing over two independent 60-bit md5 halves, so the oracle
+    * reproduces the sketch with exact integer arithmetic ("all k
+    * positions present in the corpus position set" IS bloom membership).
+    * Emits one row per batch doc: (doc_id, bloom_hit, dup_of, status in
+    * dup|fp|new); `new` is the bloom guarantee (no false negatives), `fp`
+    * measures the sketch's false-positive cost.
+    */
+  def ddBloom(spark: SparkSession, dir: String): DataFrame = {
+    val mh = md5(col("norm").cast("binary"))
+    val hashed = docNorm(spark, dir).select(
+      col("doc_id"),
+      conv(substring(mh, 1, 15), 16, 10).cast("long").as("h1"),
+      conv(substring(mh, 17, 15), 16, 10).cast("long").as("h2"),
+      mh.as("h"))
+    val isBatch = (col("doc_id") % incrMod) === 0
+    val corpus = hashed.where(!isBatch)
+    val bits = graft.functions.Bloom.buildBits(corpus, bloomM, bloomK)
+    val probed = hashed.where(isBatch).withColumn("bloom_hit",
+      graft.functions.Bloom.containsCol(col("h1"), col("h2"), bits, bloomM, bloomK))
+    val exact = probed.where(col("bloom_hit"))
+      .join(corpus.select(col("h"), col("doc_id").as("eid")), "h")
+      .groupBy("doc_id").agg(min(col("eid")).as("exact_of"))
+    probed
+      .join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("bloom_hit"),
+        coalesce(col("exact_of"), lit(-1L)).as("dup_of"),
+        when(col("exact_of").isNotNull, "dup")
+          .when(col("bloom_hit"), "fp")
+          .otherwise("new").as("status"))
+  }
+
+  private val ddBloomSql =
+    s"""WITH ${OracleGen.nrmCte},
+hs AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(norm), 1, 15))::BIGINT AS h1,
+    ('0x' || substr(md5(norm), 17, 15))::BIGINT AS h2,
+    md5(norm) AS h
+  FROM nrm),
+cpos AS (
+  SELECT DISTINCT (h1 + t.i * h2) % $bloomM AS pos
+  FROM hs, range($bloomK) t(i) WHERE doc_id % $incrMod <> 0),
+bp AS (
+  SELECT doc_id, (h1 + t.i * h2) % $bloomM AS pos
+  FROM hs, range($bloomK) t(i) WHERE doc_id % $incrMod = 0),
+hit AS (
+  SELECT b.doc_id, count(*) = count(c.pos) AS bloom_hit
+  FROM bp b LEFT JOIN cpos c ON c.pos = b.pos
+  GROUP BY 1),
+ex AS (
+  SELECT b.doc_id, min(e.doc_id) AS exact_of
+  FROM hs b JOIN hs e ON e.h = b.h AND e.doc_id % $incrMod <> 0
+  WHERE b.doc_id % $incrMod = 0
+  GROUP BY 1)
+SELECT ht.doc_id, ht.bloom_hit,
+  coalesce(x.exact_of, -1) AS dup_of,
+  CASE WHEN x.exact_of IS NOT NULL THEN 'dup'
+       WHEN ht.bloom_hit THEN 'fp' ELSE 'new' END AS status
+FROM hit ht
+LEFT JOIN ex x ON x.doc_id = ht.doc_id"""
+
   /** SimHash near-dup pairs: 60-bit SimHash over word tokens, pigeonhole
     * bit-block blocking (4 x 15-bit blocks), Hamming verify.
     */
@@ -451,6 +529,7 @@ ${OracleGen.ccSql}"""
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_skew_stats" -> (ddSkewStats _),
     "dd_incremental" -> (ddIncremental _),
+    "dd_bloom" -> (ddBloom _),
     "dd_simhash" -> (ddSimhash _),
     "dd_substring" -> (ddSubstring _),
     "snm_blocking" -> (snmBlocking _),
@@ -464,6 +543,7 @@ ${OracleGen.ccSql}"""
     "dd_minhash_lsh" -> ddMinhashLshSql,
     "dd_skew_stats" -> ddSkewStatsSql,
     "dd_incremental" -> ddIncrementalSql,
+    "dd_bloom" -> ddBloomSql,
     "dd_simhash" -> ddSimhashSql,
     "dd_substring" -> ddSubstringSql,
     "snm_blocking" -> snmBlockingSql,

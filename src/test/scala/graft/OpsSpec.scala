@@ -1014,4 +1014,59 @@ class OpsSpec extends AnyFunSuite {
     assert(m(3L).getLong(1) == 1 && m(3L).getLong(2) == 0)
     assert(m(4L).getLong(1) == 1 && m(4L).getLong(2) == 0)
   }
+
+  test("bloom: treeAggregate bitset == brute-force positions; no false " +
+    "negatives on exact dups; 'new' verdict is sound") {
+    import graft.functions.Bloom
+    val dir = "/root/testdata/sf0.001"
+    val m = Queries.bloomM; val k = Queries.bloomK
+
+    val out = Queries.ddBloom(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2), r.getString(3))).toMap
+    assert(out.nonEmpty)
+
+    // reconstruct the ground truth from the raw table
+    val norm = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), graft.sig.Signatures.normalizeCol(col("text")).as("norm"))
+    val all = norm.collect().map(r => r.getLong(0) -> r.getString(1))
+    val corpusNorms = all.filter(_._1 % Queries.incrMod != 0)
+    val batch = all.filter(_._1 % Queries.incrMod == 0)
+    def h12(s: String): (Long, Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex.substring(0, 15), 16),
+        java.lang.Long.parseLong(hex.substring(16, 31), 16))
+    }
+    // 1) bitset from the distributed fold == brute-force position set
+    val hdf = norm.where(col("doc_id") % Queries.incrMod =!= 0).select(
+      conv(substring(md5(col("norm").cast("binary")), 1, 15), 16, 10)
+        .cast("long").as("h1"),
+      conv(substring(md5(col("norm").cast("binary")), 17, 15), 16, 10)
+        .cast("long").as("h2"))
+    val bits = Bloom.buildBits(hdf, m, k)
+    val want = new Array[Long](m / 64)
+    corpusNorms.foreach { case (_, s) =>
+      val (h1, h2) = h12(s)
+      (0 until k).foreach { i =>
+        val p = ((h1 + i * h2) % m).toInt; want(p >> 6) |= 1L << (p & 63)
+      }
+    }
+    assert(java.util.Arrays.equals(bits, want), "bitset mismatch")
+
+    // 2) semantics: dup ⇔ exact corpus match; dup ⇒ hit; new ⇒ no match
+    val corpusSet = corpusNorms.map(_._2).toSet
+    val corpusMin = corpusNorms.groupBy(_._2).map { case (s, xs) => s -> xs.map(_._1).min }
+    batch.foreach { case (id, s) =>
+      val (hit, dupOf, status) = out(id)
+      if (corpusSet(s)) {
+        assert(hit, s"false negative for $id")
+        assert(status == "dup" && dupOf == corpusMin(s), s"wrong dup_of for $id")
+      } else {
+        assert(status == (if (hit) "fp" else "new"), s"wrong status for $id")
+        assert(dupOf == -1L)
+      }
+      val (h1, h2) = h12(s)
+      assert(hit == Bloom.contains(want, m, k, h1, h2), s"probe mismatch for $id")
+    }
+  }
 }
