@@ -42,12 +42,106 @@ object Embeddings {
     val v = withNorm(vectors.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
       "nv", "nn")
     val scored = v.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dotCol(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotCol(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("_s"))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+      .orderBy(col("_s").desc, col("neighbor_id"))
+    localTopK(scored, k, asc = false)
+      .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("_s").as("cosine"))
+  }
+
+  /** Map-side bounded per-query selection: keep each input partition's k
+    * best (by Spark's total double order — the exact `orderBy(_s
+    * [desc|asc], neighbor_id)` window order, incl. NaN-largest and
+    * -0.0<0.0) rows per query_id, with per-query bounded heaps. A row in
+    * the GLOBAL top-k is necessarily in its partition's local top-k, so
+    * composing this with the original window changes nothing about the
+    * result — but the window's exchange now carries at most
+    * partitions·queries·k rows instead of the full candidate set, and the
+    * selection work runs at scan parallelism instead of #queries tasks.
+    * At n=1M/64 queries this is the difference between a 64-task sort of
+    * 64M candidate rows and a map pass (measured minutes → seconds); at
+    * the 10^12 target the single-window form simply does not run.
+    * Input contract: columns (query_id, neighbor_id, _s), one row per
+    * (query, neighbor).
+    */
+  private def localTopK(scored: DataFrame, k: Int, asc: Boolean): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val narrow = scored.select(col("query_id").cast("long"),
+      col("neighbor_id").cast("long"), col("_s").cast("double"))
+    // InternalRow-level pass: no Row/tuple boxing on the O(candidates)
+    // side; only the ≤ queries·k survivors are materialized
+    GraftColumnBridge.mapPartitionsInternal(narrow, { it =>
+      val heaps = new java.util.HashMap[Long, BoundedWorstHeap]()
+      while (it.hasNext) {
+        val r = it.next()
+        val q = r.getLong(0)
+        var h = heaps.get(q)
+        if (h == null) { h = new BoundedWorstHeap(k, asc); heaps.put(q, h) }
+        h.offer(r.getDouble(2), r.getLong(1))
+      }
+      val out = new java.util.ArrayList[org.apache.spark.sql.catalyst.InternalRow]()
+      heaps.forEach { (q, h) =>
+        var i = 0
+        while (i < h.size) {
+          out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](q, h.nn(i), h.ss(i))))
+          i += 1
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      out.iterator.asScala
+    })
+  }
+
+  /** Primitive-array bounded selection heap: keeps the k BEST (score,
+    * neighbor) pairs seen, where "better" is Spark's total order on
+    * (score asc|desc, neighbor asc) — java.lang.Double.compare semantics,
+    * NaN largest, -0.0 < 0.0. The root is the WORST kept entry (max-heap
+    * by worseness), so admission is one comparison.
+    */
+  private[graft] final class BoundedWorstHeap(k: Int, asc: Boolean) {
+    val ss = new Array[Double](k)
+    val nn = new Array[Long](k)
+    var size = 0
+
+    private def worse(s1: Double, n1: Long, s2: Double, n2: Long): Boolean = {
+      val c0 = java.lang.Double.compare(s1, s2)
+      val c = if (asc) c0 else -c0
+      if (c != 0) c > 0 else n1 > n2
+    }
+
+    def offer(s: Double, n: Long): Unit = {
+      if (size < k) {
+        var i = size
+        ss(i) = s; nn(i) = n; size += 1
+        while (i > 0 && worse(ss(i), nn(i), ss((i - 1) / 2), nn((i - 1) / 2))) {
+          val p = (i - 1) / 2
+          val ts = ss(i); val tn = nn(i)
+          ss(i) = ss(p); nn(i) = nn(p); ss(p) = ts; nn(p) = tn
+          i = p
+        }
+      } else if (worse(ss(0), nn(0), s, n)) {
+        ss(0) = s; nn(0) = n
+        var i = 0
+        var done = false
+        while (!done) {
+          val l = 2 * i + 1; val r = l + 1
+          var m = i
+          if (l < size && worse(ss(l), nn(l), ss(m), nn(m))) m = l
+          if (r < size && worse(ss(r), nn(r), ss(m), nn(m))) m = r
+          if (m == i) done = true
+          else {
+            val ts = ss(i); val tn = nn(i)
+            ss(i) = ss(m); nn(i) = nn(m); ss(m) = ts; nn(m) = tn
+            i = m
+          }
+        }
+      }
+    }
   }
 
   /** All pairs with cosine >= threshold (exact, for moderate n; the LSH
@@ -218,17 +312,19 @@ object Embeddings {
     val probes = withNorm(
       queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         explode(probeOf(col("embedding"))).as("cell")), "qv", "qn")
-    val scored = cells.join(broadcast(probes), Seq("cell"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dotCol(col("qv"), col("nv")) / (col("qn") * col("nn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
     // each vector lives in exactly one cell, so a (query, neighbor) pair
     // occurs at most once across the probed cells — no dedup needed
-    scored.withColumn("rank", row_number().over(w))
+    val scored = cells.join(broadcast(probes), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotCol(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("_s"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_s").desc, col("neighbor_id"))
+    localTopK(scored, k, asc = false)
+      .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("int").as("rank"),
-        col("cosine"))
+        col("_s").as("cosine"))
   }
 
   /** Approximate threshold pairs via SRP-LSH bucketing + exact verify.
@@ -305,16 +401,12 @@ object Embeddings {
     */
   // ------------------------------------------------- product quantization
 
-  /** v̂ = v/‖v‖ as a double array. The norm is the same sequential-fold
-    * double the oracle computes (`sqrt(list_dot_product(v, v))`), so
-    * normalized elements are bit-exact across engines. Callers hoist this
-    * into a projected column so the norm subtree is evaluated once per
-    * row, not once per element downstream.
+  /** v̂ = v/‖v‖ as a double array (native [[graft.functions.NormalizeFloats]]
+    * kernel). The norm is the same sequential-fold double the oracle
+    * computes (`sqrt(list_dot_product(v, v))`), so normalized elements are
+    * bit-exact across engines.
     */
-  def normalizedCol(v: Column): Column = {
-    val n = sqrt(dotCol(v, v))
-    transform(v, e => e.cast("double") / n)
-  }
+  def normalizedCol(v: Column): Column = graft.functions.NormalizeFloats(v)
 
   /** Deterministic data-independent PQ codebooks (hash60-uniform entries),
     * the catalog/oracle configuration: like [[ivfCentroids]], no training
@@ -414,37 +506,20 @@ object Embeddings {
     }
   }
 
-  private def cbLiteral(cb: Array[Array[Array[Double]]]): Column =
-    typedlit(cb.map(_.map(_.toSeq).toSeq).toSeq)
-
-  /** Sequential-fold ‖a−b‖² over two double-array columns — mirrors DuckDB
-    * `list_dot_product(diff, diff)` bit-for-bit.
-    */
-  private def sqDistCol(a: Column, b: Column): Column = {
-    val d = zip_with(a, b, (x, y) => x - y)
-    aggregate(zip_with(d, d, (x, y) => x * y), lit(0.0), (acc, t) => acc + t)
-  }
-
   /** PQ codes of a NORMALIZED double-array column: per subspace, the
     * 0-based index of the L2-nearest codebook entry (first-min ties, same
-    * as the oracle's `list_position(d, list_min(d))`). Builtin
-    * higher-order functions over a codebook literal — no ScalaUDF
-    * anywhere in the corpus encode path (PlanSpec-gated). This map is the
-    * whole index build: O(n·codes·dim) with nothing shuffled, and the
-    * emitted index row is m ints instead of dim floats — at the 10^12
-    * target that is the difference between an index that fits executor
-    * memory and one that doesn't (64-dim float → 8-byte codes is 32×).
+    * as the oracle's `list_position(d, list_min(d))`). Native codegen
+    * kernel ([[graft.functions.PqEncode]]) with the exact fold arithmetic
+    * of the builtin-HOF tree it replaced — the HOF form ran interpreted
+    * at ~180 rows/s/core (measured by the ANN scale probe), which made
+    * the O(n·codes·dim) encode the bottleneck of the whole index build.
+    * This map IS the index build: nothing shuffled, and the emitted
+    * index row is m ints instead of dim floats — at the 10^12 target
+    * that is the difference between an index that fits executor memory
+    * and one that doesn't (64-dim float → 8-byte codes is 32×).
     */
-  def pqCodesCol(nv: Column, cb: Array[Array[Array[Double]]]): Column = {
-    val m = cb.length
-    val subDim = cb(0)(0).length
-    val cbLit = cbLiteral(cb)
-    transform(sequence(lit(0), lit(m - 1)), j => {
-      val sub = slice(nv, j * subDim + 1, lit(subDim))
-      val dists = transform(element_at(cbLit, j + 1), c => sqDistCol(sub, c))
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    })
-  }
+  def pqCodesCol(nv: Column, cb: Array[Array[Array[Double]]]): Column =
+    graft.functions.PqEncode(nv, cb)
 
   /** PQ-ADC top-k with exact re-rank — the IVF-PQ search shape without the
     * coarse stage (compose with [[ivfTopK]]'s cells for both): score every
@@ -469,10 +544,12 @@ object Embeddings {
       .withColumn("qnv", normalizedCol(col("embedding")))
       .select(col("query_id"), col("qnv"))
 
-    val short = coded.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc", adcCol(col("qnv"), col("pq"), cb))
+    val scored = coded.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        adcCol(col("qnv"), col("pq"), cb).as("_s"))
+    val short = localTopK(scored, shortlist, asc = true)
       .withColumn("_sr", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))))
+        Window.partitionBy(col("query_id")).orderBy(col("_s"), col("neighbor_id"))))
       .where(col("_sr") <= shortlist)
       .select(col("query_id"), col("neighbor_id"))
 
@@ -480,21 +557,13 @@ object Embeddings {
   }
 
   /** Asymmetric distance Σ_j ‖q̂_j − C_j[code_j]‖² between a normalized
-    * query column and a codes column, as the same sequential fold the
+    * query column and a codes column — native kernel
+    * ([[graft.functions.PqAdcDist]]) with the same sequential fold the
     * oracle's dot-with-ones reproduces.
     */
   private def adcCol(qnv: Column, pq: Column,
-                     cb: Array[Array[Array[Double]]]): Column = {
-    val m = cb.length
-    val subDim = cb(0)(0).length
-    val cbLit = cbLiteral(cb)
-    val terms = transform(sequence(lit(0), lit(m - 1)), j => {
-      val qsub = slice(qnv, j * subDim + 1, lit(subDim))
-      val cent = element_at(element_at(cbLit, j + 1), element_at(pq, j + 1) + 1)
-      sqDistCol(qsub, cent)
-    })
-    aggregate(terms, lit(0.0), (acc, t) => acc + t)
-  }
+                     cb: Array[Array[Array[Double]]]): Column =
+    graft.functions.PqAdcDist(qnv, pq, cb)
 
   /** Exact float-cosine re-rank of a (query_id, neighbor_id) shortlist —
     * only the shortlist rows ever touch the wide embedding column again.
@@ -537,18 +606,11 @@ object Embeddings {
     * `least(255, floor((x − mn) · 255 / (mx − mn)))` (0 on a constant dim)
     * — 8-bit integer codes, a 4× cut vs float32 corpus rows (and unlike PQ
     * the reconstruction is per-dim, so recall degrades gracefully).
-    * Builtin higher-order functions only; no UDF in the encode path.
+    * Native codegen kernel ([[graft.functions.SqEncode]]) with the exact
+    * floor/least arithmetic of the builtin transform it replaced.
     */
-  def sqCodesCol(nv: Column, mins: Array[Double], maxs: Array[Double]): Column = {
-    val mnLit = typedlit(mins.toSeq)
-    val mxLit = typedlit(maxs.toSeq)
-    transform(nv, (x, i) => {
-      val mn = element_at(mnLit, i + 1)
-      val mx = element_at(mxLit, i + 1)
-      when(mx > mn, least(lit(255L), floor((x - mn) * lit(255.0) / (mx - mn))))
-        .otherwise(lit(0L))
-    })
-  }
+  def sqCodesCol(nv: Column, mins: Array[Double], maxs: Array[Double]): Column =
+    graft.functions.SqEncode(nv, mins, maxs)
 
   /** SQ8 search: integer squared-L2 over code arrays shortlists, exact
     * float cosine re-ranks — same shape as [[pqRerankTopK]] but the
@@ -567,13 +629,16 @@ object Embeddings {
     val q = queries
       .select(col("vec_id").as("query_id"),
         sqCodesCol(normalizedCol(col("embedding")), mins, maxs).as("qsq"))
-    val dist = aggregate(
-      zip_with(col("qsq"), col("sq"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, t) => acc + t)
-    val short = coded.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("dist", dist)
+    // native integer-L2 kernel: this expression runs once per
+    // (query, corpus-row) candidate — the O(n·q) stage of the search.
+    // The integer dist rides through localTopK as a double: values are
+    // bounded by dim·255² < 2^53, so the cast is order-exact.
+    val scored = coded.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.LongSqL2(col("qsq"), col("sq")).as("_s"))
+    val short = localTopK(scored, shortlist, asc = true)
       .withColumn("_sr", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("dist"), col("neighbor_id"))))
+        Window.partitionBy(col("query_id")).orderBy(col("_s"), col("neighbor_id"))))
       .where(col("_sr") <= shortlist)
       .select(col("query_id"), col("neighbor_id"))
     exactRerank(short, vectors, queries, k)
@@ -591,16 +656,38 @@ object Embeddings {
                 numCells: Int = 16, nprobe: Int = 4, dim: Int = 64,
                 seed: Long = 42L, shortlist: Int = 50,
                 centroids: Option[Array[Array[Double]]] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = centroids.getOrElse(ivfCentroids(numCells, dim, seed))
+    val coded = ivfPqEncode(vectors, cb, cents)
+    ivfPqTopKFromCodes(coded, vectors, queries, k, cb, cents, nprobe, shortlist)
+  }
+
+  /** The (cell, neighbor_id, pq) index rows of [[ivfPqTopK]] — the
+    * build-once artifact a production deployment persists (parquet /
+    * Iceberg) and searches many times. Pure map, nothing shuffled.
+    */
+  def ivfPqEncode(vectors: DataFrame, cb: Array[Array[Array[Double]]],
+                  cents: Array[Array[Double]]): DataFrame = {
     val cellOf = ivfCellAssigner(cents, 1)
-    val probeOf = ivfCellAssigner(cents, nprobe)
-    val coded = vectors
+    vectors
       .select(col("vec_id").as("neighbor_id"), col("embedding"),
         explode(cellOf(col("embedding"))).as("cell"))
       .withColumn("_nv", normalizedCol(col("embedding")))
       .withColumn("pq", pqCodesCol(col("_nv"), cb))
       .select(col("cell"), col("neighbor_id"), col("pq"))
+  }
+
+  /** IVF-PQ search over a PREBUILT codes index (see [[ivfPqEncode]]):
+    * the per-query cost never touches the encode — at 10^12 rows the
+    * index is built once per corpus version, while searches run
+    * per-batch. `vectors` is consulted only for the shortlist re-rank.
+    */
+  def ivfPqTopKFromCodes(coded: DataFrame, vectors: DataFrame,
+                         queries: DataFrame, k: Int,
+                         cb: Array[Array[Array[Double]]],
+                         cents: Array[Array[Double]],
+                         nprobe: Int, shortlist: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probeOf = ivfCellAssigner(cents, nprobe)
     val q = queries
       .select(col("vec_id").as("query_id"), col("embedding"),
         explode(probeOf(col("embedding"))).as("cell"))
@@ -608,11 +695,13 @@ object Embeddings {
       .select(col("cell"), col("query_id"), col("qnv"))
     // every corpus vector lives in exactly one cell, so a (query, neighbor)
     // pair meets at most once across the probed cells — no dedup needed
-    val short = coded.join(broadcast(q), Seq("cell"))
+    val scored = coded.join(broadcast(q), Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc", adcCol(col("qnv"), col("pq"), cb))
+      .select(col("query_id"), col("neighbor_id"),
+        adcCol(col("qnv"), col("pq"), cb).as("_s"))
+    val short = localTopK(scored, shortlist, asc = true)
       .withColumn("_sr", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))))
+        Window.partitionBy(col("query_id")).orderBy(col("_s"), col("neighbor_id"))))
       .where(col("_sr") <= shortlist)
       .select(col("query_id"), col("neighbor_id"))
     exactRerank(short, vectors, queries, k)

@@ -22,6 +22,21 @@ object GraftColumnBridge {
     * materialization job per round. The RDD is lazy here; callers persist
     * it (or the returned frame) and trigger it with their own action.
     */
+  /** Map partitions at the InternalRow level, skipping the Row/product
+    * encoder round-trip (one boxed allocation per row — measured as the
+    * dominant cost of per-partition selection passes over 10^7+ candidate
+    * rows). The output must conform to the input schema. NOTE: toRdd
+    * iterators reuse one mutable UnsafeRow per partition — `f` must copy
+    * (or re-materialize) any row it retains past the current iteration.
+    */
+  def mapPartitionsInternal(df: DataFrame,
+      f: Iterator[org.apache.spark.sql.catalyst.InternalRow] =>
+         Iterator[org.apache.spark.sql.catalyst.InternalRow]): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd.mapPartitions(f), df.schema)
+  }
+
   def rebaseOnRdd(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
     val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
     // toRdd iterators REUSE one mutable UnsafeRow per partition — rows must

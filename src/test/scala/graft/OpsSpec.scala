@@ -1015,6 +1015,44 @@ class OpsSpec extends AnyFunSuite {
     assert(m(4L).getLong(1) == 1 && m(4L).getLong(2) == 0)
   }
 
+  test("BoundedWorstHeap == sort-based selection incl. NaN/-0.0/ties; " +
+    "topK invariant to input partitioning") {
+    val rnd = new scala.util.Random(7)
+    val special = Array(Double.NaN, -0.0, 0.0, Double.PositiveInfinity,
+      Double.NegativeInfinity, 1.0, 1.0)
+    for (trial <- 0 until 50; asc <- Seq(true, false)) {
+      val n = 1 + rnd.nextInt(40)
+      val k = 1 + rnd.nextInt(12)
+      val xs = Array.fill(n)((
+        if (rnd.nextInt(4) == 0) special(rnd.nextInt(special.length))
+        else rnd.nextInt(5).toDouble,
+        rnd.nextInt(10).toLong))
+      val h = new graft.ops.Embeddings.BoundedWorstHeap(k, asc)
+      xs.foreach { case (s, id) => h.offer(s, id) }
+      // compare via raw bits: NaN != NaN would break plain Set equality
+      def bits(t: (Double, Long)) = (java.lang.Double.doubleToLongBits(t._1), t._2)
+      val got = (0 until h.size).map(i => bits((h.ss(i), h.nn(i)))).toSet
+      // Spark's window order: Double.compare total order (NaN largest)
+      val ord = new Ordering[(Double, Long)] {
+        def compare(a: (Double, Long), b: (Double, Long)): Int = {
+          val c0 = java.lang.Double.compare(a._1, b._1)
+          val c = if (asc) c0 else -c0
+          if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+        }
+      }
+      val want = xs.sorted(ord).take(k).map(bits).toSet
+      assert(got == want, s"trial=$trial asc=$asc xs=${xs.mkString(",")}")
+    }
+
+    // end-to-end: the pruned-window topK must not depend on partitioning
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = vecs.where(col("vec_id") < 5)
+    def res(parts: Int) =
+      graft.ops.Embeddings.topK(vecs.repartition(parts), q, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(res(1) == res(13) && res(1).nonEmpty)
+  }
+
   test("bloom: treeAggregate bitset == brute-force positions; no false " +
     "negatives on exact dups; 'new' verdict is sound") {
     import graft.functions.Bloom

@@ -204,7 +204,7 @@ class PlanSpec extends AnyFunSuite {
       "within-cell pairing must be a keyed join, not a cross product")
   }
 
-  test("PQ corpus encode is UDF-free (builtin HOFs over the codebook literal)") {
+  test("PQ corpus encode is UDF-free (native PqEncode/PqAdcDist kernels)") {
     import spark.implicits._
     val vecs = (0L until 32L)
       .map(i => (i, Array.tabulate(64)(d => ((i * 17 + d) % 11).toFloat / 11f).toSeq))
