@@ -1624,6 +1624,93 @@ SELECT t.doc_id, count(*) AS n_grams,
 FROM g t JOIN df d ON d.g = t.g
 GROUP BY 1"""
 
+  /** Fixed paragraph width (words) for the global duplicate-paragraph pass
+    * (the testdata documents carry no newline structure — see
+    * TextAnalysis.paragraphDedup).
+    */
+  val paraW = 5
+
+  def ddParagraph(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.paragraphDedup(table(spark, dir, "documents"), "text", paraW)
+
+  private val ddParagraphSql =
+    s"""WITH ${OracleGen.nrmCte},
+toks AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM nrm WHERE length(norm) > 0),
+ix AS (
+  SELECT doc_id, ws, unnest(generate_series(0, (len(ws) - 1) // $paraW)) AS idx
+  FROM toks),
+ch AS (
+  SELECT doc_id, idx,
+    array_to_string(ws[idx*$paraW+1 : idx*$paraW+$paraW], ' ') AS chunk
+  FROM ix),
+rk AS (
+  SELECT doc_id, idx, chunk,
+    row_number() OVER (PARTITION BY ${Signatures.hash60Sql("chunk")}
+                       ORDER BY doc_id, idx) AS r
+  FROM ch),
+tot AS (
+  SELECT doc_id, count(*) AS n_paras,
+    CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+  FROM rk GROUP BY 1),
+kt AS (
+  SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS kept
+  FROM rk WHERE r = 1 GROUP BY 1)
+SELECT t.doc_id, t.n_paras, t.n_kept,
+  CAST(t.n_kept AS DOUBLE) / t.n_paras AS kept_frac,
+  ${Signatures.hash60Sql("coalesce(k.kept, '')")} AS kept_hash
+FROM tot t LEFT JOIN kt k ON k.doc_id = t.doc_id"""
+
+  /** Model size (global top-k bigrams) for the corpus-LM quality score. */
+  val lmK = 64
+
+  def taNgramLm(spark: SparkSession, dir: String): DataFrame = {
+    // memoize the bigram stream: it feeds both the model count aggregate
+    // and the scoring probe (same sharing argument as dd_dupspan's grams)
+    val grams = QueryCache.memo(spark, "lm_bigrams", dir) {
+      TextAnalysis.docBigrams(
+        Queries.docNorm(spark, dir).withColumnRenamed("norm", "text"), "text")
+    }
+    TextAnalysis.ngramLmScoreFromGrams(grams, TextAnalysis.lmTopK(grams, lmK))
+  }
+
+  private val taNgramLmSql =
+    s"""WITH ${OracleGen.nrmCte},
+toks AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM nrm WHERE length(norm) > 0),
+gi AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+  FROM toks WHERE len(ws) >= 2),
+g AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS gram FROM gi),
+c AS (SELECT gram, count(*) AS n FROM g GROUP BY 1),
+v AS (
+  SELECT gram, n FROM (
+    SELECT gram, n, row_number() OVER (ORDER BY n DESC, gram) AS rnk FROM c)
+  WHERE rnk <= $lmK)
+SELECT g.doc_id, count(*) AS n_bigrams,
+  CAST(sum(CASE WHEN v.gram IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_known,
+  CAST(sum(coalesce(v.n, 0)) AS BIGINT) AS freq_sum,
+  CAST(sum(coalesce(v.n, 0)) AS DOUBLE) / count(*) AS mean_freq
+FROM g LEFT JOIN v ON v.gram = g.gram
+GROUP BY 1"""
+
+  /** Shard count for the deterministic global corpus shuffle. */
+  val shuffleShards = 8
+
+  def dsShuffle(spark: SparkSession, dir: String): DataFrame =
+    Sampling.globalShuffle(
+      table(spark, dir, "documents").select(col("doc_id")),
+      col("doc_id"), shuffleShards)
+      .select(col("doc_id"), col("shard"), col("pos"))
+
+  private val dsShuffleSql =
+    s"""WITH b AS (
+  SELECT doc_id,
+    ${Signatures.hash60Sql("'shuf:' || CAST(doc_id AS VARCHAR)")} AS ord
+  FROM documents)
+SELECT doc_id, CAST(ord % $shuffleShards AS INT) AS shard,
+  CAST(row_number() OVER (PARTITION BY ord % $shuffleShards
+                          ORDER BY ord, doc_id) - 1 AS BIGINT) AS pos
+FROM b"""
+
   // ---------------------------------------------- flagship pipeline oracle
 
   /** Full 6-stage dedup pipeline (features -> multi-pass blocking -> rule
@@ -1748,6 +1835,9 @@ JOIN fmtr f ON f.exp_cluster = cl.exp_cluster AND f.rn = 1"""
     "ta_pii" -> (taPii _),
     "dd_decontam" -> (ddDecontam _),
     "dd_dupspan" -> (ddDupspan _),
+    "dd_paragraph" -> (ddParagraph _),
+    "ta_ngram_lm" -> (taNgramLm _),
+    "ds_shuffle" -> (dsShuffle _),
     "dd_url" -> (ddUrl _),
     "ds_pack" -> (dsPack _),
     "ev_windows" -> (evWindows _),
@@ -1801,6 +1891,9 @@ JOIN fmtr f ON f.exp_cluster = cl.exp_cluster AND f.rn = 1"""
     "ta_pii" -> taPiiSql,
     "dd_decontam" -> ddDecontamSql,
     "dd_dupspan" -> ddDupspanSql,
+    "dd_paragraph" -> ddParagraphSql,
+    "ta_ngram_lm" -> taNgramLmSql,
+    "ds_shuffle" -> dsShuffleSql,
     "dd_url" -> ddUrlSql,
     "ds_pack" -> dsPackSql,
     "ev_windows" -> evWindowsSql,

@@ -220,6 +220,56 @@ SELECT n AS bucket_size, count(*) AS n_buckets,
   n <= $bucketCap AS kept
 FROM bs GROUP BY n"""
 
+  /** Signature-space verification threshold for [[ddMinhashEst]]. */
+  val minhashEstT = 0.5
+
+  /** MinHash near-dup pairs verified IN SIGNATURE SPACE: the estimated
+    * Jaccard is the fraction of agreeing MinHash components (the unbiased
+    * classic estimator, Broder 1997), so the verify stage co-locates two
+    * fixed 64-long signatures per candidate pair instead of two full
+    * shingle arrays. At 100 TB this is the verify path that keeps pair
+    * traffic CONSTANT per pair regardless of document length — the exact
+    * companion (`dd_minhash_lsh`) moves O(|doc|) shingle hashes per pair.
+    * The estimator's resolution is 1/numHashes, so this path suits
+    * high-recall sweeps (threshold well under the target similarity) with
+    * the exact verify reserved for the survivors.
+    *
+    * Same banded candidate generation (and bucket cap) as the exact path;
+    * the oracle mirrors the per-component agreement count integer-exactly.
+    */
+  def ddMinhashEst(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = QueryCache.memo(spark, "mh_sigs", dir) {
+      docCharShingles(spark, dir).select(col("id"),
+        Signatures.minHashFromHashesCol(col("shs"), lshCfg).as("sig"))
+    }
+    val cands = Blocking.pairsFromKeys(mhKeyed(spark, dir), Some(bucketCap))
+    val s1 = sigs.select(col("id").as("id1"), col("sig").as("sig1"))
+    val s2 = sigs.select(col("id").as("id2"), col("sig").as("sig2"))
+    cands.join(s1, Seq("id1")).join(s2, Seq("id2"))
+      .select(col("id1"), col("id2"),
+        size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b),
+          x => x)).cast("long").as("n_match"))
+      .withColumn("est_jaccard",
+        col("n_match").cast("double") / lshCfg.numHashes)
+      .where(col("est_jaccard") >= minhashEstT)
+  }
+
+  private val ddMinhashEstSql =
+    s"""WITH ${OracleGen.nrmCte},
+${OracleGen.charShingleCtes(lshCfg.shingleK)},
+${OracleGen.minHashCandsCtes(lshCfg)},
+m AS (
+  SELECT c.id1, c.id2,
+    CAST(sum(CASE WHEN a.mv = b.mv THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+  FROM cands c
+  JOIN mv a ON a.doc_id = c.id1
+  JOIN mv b ON b.doc_id = c.id2 AND b.i = a.i
+  GROUP BY 1, 2)
+SELECT id1, id2, n_match,
+  CAST(n_match AS DOUBLE) / ${lshCfg.numHashes} AS est_jaccard
+FROM m
+WHERE CAST(n_match AS DOUBLE) / ${lshCfg.numHashes} >= $minhashEstT"""
+
   /** Batch docs = doc_id % incrMod == 0, the "today's crawl" side; the rest
     * is the standing corpus the batch dedupes against.
     */
@@ -527,6 +577,7 @@ ${OracleGen.ccSql}"""
     "dd_exact" -> (ddExact _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
+    "dd_minhash_est" -> (ddMinhashEst _),
     "dd_skew_stats" -> (ddSkewStats _),
     "dd_incremental" -> (ddIncremental _),
     "dd_bloom" -> (ddBloom _),
@@ -541,6 +592,7 @@ ${OracleGen.ccSql}"""
     "dd_exact" -> ddExactSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,
+    "dd_minhash_est" -> ddMinhashEstSql,
     "dd_skew_stats" -> ddSkewStatsSql,
     "dd_incremental" -> ddIncrementalSql,
     "dd_bloom" -> ddBloomSql,

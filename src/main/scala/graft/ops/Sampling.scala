@@ -72,6 +72,33 @@ object Sampling {
       .drop("cum_before")
   }
 
+  /** Deterministic global shuffle for training-order randomization: every
+    * row gets a stable (shard, pos) coordinate — shard = hash60 % nShards,
+    * pos = the row's rank within its shard under hash order. Reading shards
+    * in order yields a reproducible pseudo-random permutation of the corpus
+    * (the "shuffle the training data once, globally" step), stable across
+    * reruns, cluster sizes and partitionings.
+    *
+    * Scale shape: NOT a global sort and NOT a per-shard single-task window
+    * — pos comes from [[Packing.prefixSum]]'s two-phase scan (hash-range
+    * buckets are near-uniform by construction, the rollup shuffle is
+    * O(shards × buckets) rows, offsets broadcast back), so parallelism is
+    * shards × buckets regardless of shard count. Rank ties would need two
+    * rows of one shard to collide on the salted 60-bit hash
+    * (P ≈ n²/2^61 per shard — negligible below ~10^8 rows/shard; raise
+    * nShards long before that).
+    */
+  def globalShuffle(df: DataFrame, key: Column, nShards: Int = 8,
+                    salt: String = "shuf", buckets: Int = 64): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val slim = df
+      .withColumn("_ord", Signatures.hash60Col(concat(lit(s"$salt:"), key.cast("string"))))
+      .withColumn("shard", pmod(col("_ord"), lit(nShards.toLong)).cast("int"))
+    Packing.prefixSum(slim, "_ord", lit(1L), Seq("shard"), buckets)
+      .withColumn("pos", col("cum_before"))
+      .drop("_ord", "cum_before")
+  }
+
   /** Deterministic stratified sample: keep a row iff its hash bucket falls
     * under the keep-rate of its stratum (per-mille-style integer rates out
     * of `nBuckets`). Unknown strata fall back to `defaultRate`.

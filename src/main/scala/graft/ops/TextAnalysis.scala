@@ -284,6 +284,96 @@ object TextAnalysis {
         col("n_emails") + col("n_phones") + col("n_ips") > 0)
   }
 
+  /** Global duplicate-paragraph removal — the C4/CCNet line-dedup pass
+    * (Raffel et al. 2020 §2.2 "we discarded all but one of any three-sentence
+    * span occurring more than once"; Wenzek et al. 2020 §4.1 per-paragraph
+    * hash dedup), re-expressed over fixed-width word windows because the
+    * testdata documents carry no newline structure: the corpus keeps only
+    * the FIRST occurrence (lowest (doc_id, position)) of every distinct
+    * `w`-word paragraph, and each document reports how much of it survives
+    * plus the fingerprint of its cleaned (reassembled, in-order) text.
+    *
+    * Scale shape: the arbitration plane never moves paragraph TEXT — chunks
+    * are keyed by hash60, so the first-occurrence argmin groupBy and the
+    * keep-decision join shuffle (8-byte key, doc_id, idx) rows only, and
+    * AQE reuses the agg's partitioning for the join probe. Document text
+    * moves exactly once (the final doc_id join that reassembles kept text
+    * from the original token array); the duplicate-paragraph "dictionary"
+    * is corpus-sized, so like [[dupSpans]] it is computed and joined in
+    * place rather than broadcast.
+    */
+  def paragraphDedup(docs: DataFrame, textCol: String, w: Int = 5): DataFrame = {
+    require(w >= 1, s"paragraph width must be >= 1, got $w")
+    def chunkAt(ws: Column, i: Column): Column =
+      array_join(slice(ws, i * w + 1, lit(w)), " ")
+    val base = docs.select(col("doc_id"), tokensColNonEmpty(col(textCol)).as("_ws"))
+      .where(size(col("_ws")) > 0)
+    // slim chunk plane: (doc_id, idx, g) — hash only, text never leaves the row
+    val chunks = base.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), ((size(col("_ws")) - 1) / w).cast("int")),
+        i => Signatures.hash60Col(chunkAt(col("_ws"), i)))).as(Seq("idx", "g")))
+    val first = chunks.groupBy(col("g"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+    val perDoc = chunks.join(first, Seq("g"))
+      .withColumn("_keep",
+        col("doc_id") === col("f.doc_id") && col("idx") === col("f.idx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+        sort_array(collect_list(when(col("_keep"), col("idx")))).as("_ki"))
+    base.join(perDoc, Seq("doc_id"))
+      .select(col("doc_id"), col("n_paras"), col("n_kept"),
+        (col("n_kept").cast("double") / col("n_paras")).as("kept_frac"),
+        Signatures.hash60Col(array_join(
+          transform(col("_ki"), i => chunkAt(col("_ws"), i)), " ")).as("kept_hash"))
+  }
+
+  /** Corpus-derived bigram "language model" quality score — the KenLM-style
+    * score-against-the-corpus filter (CCNet, Wenzek et al. 2020 §4.3)
+    * reduced to count arithmetic so the gate stays hash-exact: phase 1
+    * counts every word bigram in the corpus and keeps the global top-`k`;
+    * phase 2 scores each document by how much of it is made of those
+    * high-frequency bigrams (`mean_freq` = average corpus count of the
+    * document's bigrams, unknown = 0). Low scores mark unnatural token
+    * sequences (boilerplate, shuffled text, wrong language) exactly where a
+    * perplexity filter would — without IEEE log-sum ordering hazards.
+    *
+    * Scale shape: the model is k rows — broadcast — so scoring is a
+    * map-side join over the exploded bigrams with one per-doc rollup
+    * (partial-combined). The top-k plans as TakeOrderedAndProject
+    * (per-partition top-k, merged on the driver), never a global sort.
+    */
+  def ngramLmScore(docs: DataFrame, textCol: String, k: Int = 64): DataFrame = {
+    val dg = docBigrams(docs, textCol)
+    ngramLmScoreFromGrams(dg, lmTopK(dg, k))
+  }
+
+  /** Non-distinct word-bigram stream (doc_id, gram) — the shared feature
+    * stage of [[ngramLmScore]]; callers memoize it (it feeds both the
+    * count aggregate and the scoring probe).
+    */
+  def docBigrams(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(col("doc_id"), tokensColNonEmpty(col(textCol)).as("_toks"))
+      .select(col("doc_id"), explode(when(size(col("_toks")) >= 2,
+        transform(sequence(lit(1), size(col("_toks")) - 1),
+          i => concat_ws(" ", slice(col("_toks"), i, lit(2)))))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+
+  /** Global top-`k` bigrams by corpus count (ties on the gram string). */
+  def lmTopK(grams: DataFrame, k: Int): DataFrame =
+    grams.groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram")).limit(k)
+
+  /** Tail of [[ngramLmScore]] over prepared gram and model frames. */
+  def ngramLmScoreFromGrams(grams: DataFrame, model: DataFrame): DataFrame =
+    grams.join(broadcast(model.select(col("gram"), col("n").as("_cn"))),
+        Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("_cn").isNull, 0L).otherwise(1L)).as("n_known"),
+        sum(coalesce(col("_cn"), lit(0L))).as("freq_sum"))
+      .withColumn("mean_freq", col("freq_sum").cast("double") / col("n_bigrams"))
+
   /** Document fingerprints: full-content hash60 of the normalized text plus
     * a winnowing-style min-shingle fingerprint (min over k-gram hash60s) —
     * containment-robust near-exact dedup keys.

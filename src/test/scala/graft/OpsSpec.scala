@@ -1107,4 +1107,121 @@ class OpsSpec extends AnyFunSuite {
       assert(hit == Bloom.contains(want, m, k, h1, h2), s"probe mismatch for $id")
     }
   }
+
+  test("minhash estimator: exact on identical docs, bounded error vs true Jaccard") {
+    import graft.sig.Signatures
+    val cfg = Queries.lshCfg
+    val a = Signatures.seedsA(cfg.numHashes, cfg.seed)
+    val b = Signatures.seedsB(cfg.numHashes, cfg.seed)
+    // families of planted near-dups: base caption + growing suffix edits
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = (0 until 12).map(i => base + (" extra" * i))
+    def shs(s: String): Seq[Long] =
+      Signatures.shingles(Signatures.normalize(s), cfg.shingleK)
+        .map(Signatures.hash60).toSeq.distinct.sorted
+    def sig(s: String): Array[Long] = Signatures.minHashFromHashes(shs(s), a, b)
+    // identical docs agree on every component
+    assert(sig(docs(0)).sameElements(sig(docs(0) + "")))
+    val errs = for {
+      i <- docs.indices; j <- i + 1 until docs.length
+    } yield {
+      val (si, sj) = (shs(docs(i)).toSet, shs(docs(j)).toSet)
+      val exact = si.intersect(sj).size.toDouble / si.union(sj).size
+      val est = sig(docs(i)).zip(sig(docs(j))).count { case (x, y) => x == y }
+        .toDouble / cfg.numHashes
+      math.abs(est - exact)
+    }
+    // 64 components give ~1/8 std error; these are fixed seeds so the
+    // bound is deterministic, not flaky
+    assert(errs.max <= 0.25, s"max estimator error ${errs.max}")
+    assert(errs.sum / errs.size <= 0.10, s"mean estimator error ${errs.sum / errs.size}")
+  }
+
+  test("paragraphDedup: global first-occurrence semantics vs brute force") {
+    import spark.implicits._
+    import graft.sig.Signatures
+    val w = 3
+    // doc 0 and doc 2 share their first 2 chunks; doc 1 repeats its own
+    // chunk; doc 3 is all-duplicate of doc 0's chunks; doc 4 is empty
+    val raw = Seq(
+      0L -> "aa bb cc dd ee ff gg hh ii",
+      1L -> "xx yy zz xx yy zz tail one",
+      2L -> "aa bb cc dd ee ff unique here",
+      3L -> "aa bb cc dd ee ff",
+      4L -> "")
+    val got = graft.ops.TextAnalysis.paragraphDedup(
+      raw.toDF("doc_id", "text"), "text", w)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    // brute force
+    def chunksOf(s: String): Seq[String] = {
+      val ws = Signatures.normalize(s).split(" ").filter(_.nonEmpty)
+      if (ws.isEmpty) Nil
+      else (0 to (ws.length - 1) / w).map(i => ws.slice(i * w, i * w + w).mkString(" "))
+    }
+    val all = raw.flatMap { case (id, s) =>
+      chunksOf(s).zipWithIndex.map { case (c, i) => (id, i.toLong, c) } }
+    val firstOf = all.groupBy(_._3).map { case (c, xs) =>
+      c -> xs.map(x => (x._1, x._2)).min }
+    val exp = all.groupBy(_._1).map { case (id, xs) =>
+      val kept = xs.filter(x => firstOf(x._3) == ((x._1, x._2))).sortBy(_._2)
+      id -> ((xs.size.toLong, kept.size.toLong,
+        Signatures.hash60(kept.map(_._3).mkString(" "))))
+    }
+    assert(!got.contains(4L), "empty doc must be absent")
+    exp.foreach { case (id, e) => assert(got(id) == e, s"doc $id: got ${got(id)} want $e") }
+  }
+
+  test("globalShuffle: a permutation per shard, deterministic, matches naive rank") {
+    import spark.implicits._
+    import graft.sig.Signatures
+    val n = 500
+    val df = (0L until n.toLong).toDF("doc_id")
+    val got = graft.ops.Sampling.globalShuffle(df, col("doc_id"), nShards = 4, buckets = 8)
+      .select("doc_id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val naive = (0L until n.toLong).map { id =>
+      val h = Signatures.hash60(s"shuf:$id")
+      (id, (h % 4).toInt, h)
+    }
+    val expPos = naive.groupBy(_._2).flatMap { case (shard, xs) =>
+      xs.sortBy(_._3).zipWithIndex.map { case ((id, s, _), p) => id -> ((s, p.toLong)) }
+    }
+    got.foreach { case (id, s, p) => assert(expPos(id) == ((s, p)), s"id $id") }
+    // positions are a contiguous 0..k-1 permutation within every shard
+    got.groupBy(_._2).foreach { case (_, xs) =>
+      assert(xs.map(_._3).sorted.sameElements(xs.indices.map(_.toLong)))
+    }
+  }
+
+  test("ngramLmScore: counts and score match naive bigram arithmetic") {
+    import spark.implicits._
+    import graft.sig.Signatures
+    val raw = Seq(
+      0L -> "a b a b a b",   // dominated by top bigrams
+      1L -> "c d e f g h",   // all rare
+      2L -> "a b c d",
+      3L -> "solo",          // 1 token -> no bigrams -> absent
+      4L -> "")
+    val k = 2
+    val got = graft.ops.TextAnalysis.ngramLmScore(raw.toDF("doc_id", "text"), "text", k)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    def bigrams(s: String): Seq[String] = {
+      val ws = Signatures.normalize(s).split(" ").filter(_.nonEmpty)
+      if (ws.length < 2) Nil else ws.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    val all = raw.flatMap { case (_, s) => bigrams(s) }
+    val counts = all.groupBy(identity).map { case (g, xs) => g -> xs.size.toLong }
+    val top = counts.toSeq.sortBy { case (g, c) => (-c, g) }.take(k).toMap
+    raw.foreach { case (id, s) =>
+      val bs = bigrams(s)
+      if (bs.isEmpty) assert(!got.contains(id), s"doc $id must be absent")
+      else {
+        val known = bs.count(top.contains)
+        val freq = bs.map(g => top.getOrElse(g, 0L)).sum
+        assert(got(id) == ((bs.size.toLong, known.toLong, freq)), s"doc $id: ${got(id)}")
+      }
+    }
+  }
 }

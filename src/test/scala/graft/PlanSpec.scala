@@ -406,4 +406,52 @@ class PlanSpec extends AnyFunSuite {
     val pairs = Blocking.pairsFromKeys(keyed, Some(10)).count()
     assert(pairs == 1, "only the a-a pair survives the cap")
   }
+
+  test("dd_paragraph arbitration plane is slim: bounded exchanges, " +
+    "no single-partition stage, text joined back once by doc_id") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = (0L until 60L)
+        .map(i => (i, s"w${i % 5} w${(i + 1) % 5} w${(i + 2) % 5} t$i u$i v$i"))
+        .toDF("doc_id", "text")
+      val plan = formatted(graft.ops.TextAnalysis.paragraphDedup(docs, "text", 3))
+      val exchanges = plan.linesIterator.count(l =>
+        l.contains(") Exchange") || l.trim.startsWith("Exchange"))
+      // first-occurrence agg on g + join probe on g + per-doc rollup +
+      // the one text re-attach join on doc_id (both sides repartition)
+      assert(exchanges <= 5, s"expected <= 5 exchanges, got $exchanges:\n$plan")
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"no single-partition stage anywhere:\n$plan")
+      assert(!plan.contains("CartesianProduct"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("ta_ngram_lm: model broadcasts into the scoring join; top-k plans " +
+    "as TakeOrderedAndProject, never a global sort") {
+    import spark.implicits._
+    val docs = (0L until 40L)
+      .map(i => (i, s"a b a b w${i % 7} w${(i + 1) % 7}"))
+      .toDF("doc_id", "text")
+    val plan = formatted(graft.ops.TextAnalysis.ngramLmScore(docs, "text", k = 4))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the k-row model must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be per-partition + driver merge, not a sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("ds_shuffle rides the two-phase prefix sum: bucketed window + " +
+    "broadcast offsets, no global sort, no single-partition stage") {
+    import spark.implicits._
+    val docs = (0L until 200L).toDF("doc_id")
+    val plan = formatted(
+      graft.ops.Sampling.globalShuffle(docs, col("doc_id"), nShards = 4, buckets = 8))
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global-window shape would serialize the corpus on one task:\n$plan")
+    assert(plan.contains("Window"), s"expected a window stage:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket offsets must broadcast:\n$plan")
+  }
 }
