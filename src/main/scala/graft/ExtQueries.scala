@@ -960,7 +960,7 @@ FROM read_parquet('$mmMetaPath/*.parquet') GROUP BY fmt"""
     QueryCache.memo(spark, "mm_feats", dir) {
       Multimodal.decodeFeatures(graft.gen.ImageGen.asImages(gen).toDF())
         .select(col("image_id").as("id"), col("phash_dct"), col("dhash_grad"),
-          col("pixel_sha"), col("decode_ok"))
+          col("pixel_sha"), col("decode_ok"), col("w"), col("h"))
     }
   }
 
@@ -1097,6 +1097,52 @@ reach(n, r) AS (
   UNION
   SELECT reach.n, e.b FROM reach JOIN edges e ON e.a = reach.r)
 SELECT n AS image_id, min(r) AS cluster_id FROM reach GROUP BY 1"""
+
+  /** Image-cluster keep-list — the LAION-style survivor policy over
+    * [[mmDedupClusters]]' assignments: per pHash near-dup cluster keep the
+    * highest-RESOLUTION member (max decoded w*h, ties to the lowest
+    * image_id), flag the rest for drop. Rides the memoized decode and
+    * cluster stages (bytes never move); election semantics in
+    * [[graft.ops.Keeplist]] (argmin aggregate, no per-cluster window). The
+    * oracle recomputes the transitive closure AND the election from the
+    * side table's independently-derived metadata — a wrong decode
+    * dimension or a biased tie-break flips rep_id and breaks the hash.
+    */
+  def mmKeeplist(spark: SparkSession, dir: String): DataFrame = {
+    val scores = mmFeats(spark, dir).where(col("decode_ok"))
+      .select(col("id").as("image_id"),
+        (col("w").cast("long") * col("h")).as("n_px"))
+    graft.ops.Keeplist.elect(
+      mmDedupClusters(spark, dir), scores, "image_id", "n_px")
+  }
+
+  private val mmKeeplistSql =
+    s"""WITH RECURSIVE m AS (
+  SELECT image_id, phash_dct, CAST(w AS BIGINT) * h AS n_px
+  FROM read_parquet('$mmMetaPath/*.parquet')),
+pairs AS (
+  SELECT a.image_id AS id1, b.image_id AS id2
+  FROM m a JOIN m b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash_dct, b.phash_dct)) <= $mmHammingT),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION ALL SELECT id2, id1 FROM pairs),
+reach(n, r) AS (
+  SELECT image_id, image_id FROM m
+  UNION
+  SELECT reach.n, e.b FROM reach JOIN edges e ON e.a = reach.r),
+cc AS (SELECT n AS image_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+sc AS (SELECT c.image_id, c.cluster_id, m.n_px FROM cc c JOIN m USING (image_id)),
+rp AS (
+  SELECT cluster_id, image_id AS rep_id FROM (
+    SELECT cluster_id, image_id,
+      row_number() OVER (PARTITION BY cluster_id
+                         ORDER BY n_px DESC, image_id) AS rn
+    FROM sc) WHERE rn = 1),
+cs AS (SELECT cluster_id, count(*) AS cluster_size FROM sc GROUP BY 1)
+SELECT s.image_id, s.cluster_id, c.cluster_size, r.rep_id,
+  s.image_id = r.rep_id AS keep, s.n_px
+FROM sc s JOIN rp r USING (cluster_id) JOIN cs c USING (cluster_id)"""
 
   /** Frame sampling end-to-end gate: the query demuxes the binary video
     * column and sums sampled frames' bytes; the oracle reads the
@@ -1859,6 +1905,7 @@ JOIN fmtr f ON f.exp_cluster = cl.exp_cluster AND f.rn = 1"""
     "mm_dhash_pairs" -> (mmDhashPairs _),
     "mm_exact" -> (mmExact _),
     "mm_dedup_clusters" -> (mmDedupClusters _),
+    "mm_keeplist" -> (mmKeeplist _),
     "mm_caption_mismatch" -> (mmCaptionMismatch _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_video_dupes" -> (mmVideoDupes _),
@@ -1913,6 +1960,7 @@ JOIN fmtr f ON f.exp_cluster = cl.exp_cluster AND f.rn = 1"""
     "mm_dhash_pairs" -> mmDhashPairsSql,
     "mm_exact" -> mmExactSql,
     "mm_dedup_clusters" -> mmDedupClustersSql,
+    "mm_keeplist" -> mmKeeplistSql,
     "mm_caption_mismatch" -> mmCaptionMismatchSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_video_dupes" -> mmVideoDupesSql,

@@ -521,6 +521,71 @@ ${OracleGen.invertedIndexCandsCte},
 ${OracleGen.jaccardPairsCte(ngramJaccardT)},
 ${OracleGen.ccSql}"""
 
+  /** Cluster keep-list — the hard-dedup OUTPUT stage over [[ccClusters]]'
+    * assignments: per document its cluster, the cluster's elected
+    * representative ("keep the most complete copy": longest normalized
+    * text, ties to the lowest doc_id), the keep flag, and the soft-dedup
+    * sampling weight 1/cluster_size (sampling with these weights
+    * reproduces the dedup'd distribution without dropping rows — the
+    * SlimPajama-style alternative to hard removal). Election semantics in
+    * [[graft.ops.Keeplist]]: an argmin aggregate, never a per-cluster
+    * window, so the giant cluster the n=4M probe produced costs one
+    * combiner cell, not one task.
+    */
+  def ddKeeplist(spark: SparkSession, dir: String): DataFrame = {
+    val assign = ccAssign(spark, dir).select(col("id").as("doc_id"), col("cluster_id"))
+    val scores = docNorm(spark, dir)
+      .select(col("doc_id"), length(col("norm")).cast("long").as("n_chars"))
+    graft.ops.Keeplist.elect(assign, scores, "doc_id", "n_chars")
+      .withColumn("weight",
+        lit(1.0).cast("double") / col("cluster_size").cast("double"))
+  }
+
+  private val ddKeeplistSql =
+    s"""WITH RECURSIVE ${OracleGen.nrmCte},
+${OracleGen.wordNgramCtes(ngramN)},
+${OracleGen.invertedIndexCandsCte},
+${OracleGen.jaccardPairsCte(ngramJaccardT)},
+${OracleGen.ccCte},
+ln AS (SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_chars FROM nrm),
+sc AS (SELECT c.doc_id, c.cluster_id, l.n_chars FROM cc c JOIN ln l USING (doc_id)),
+rp AS (
+  SELECT cluster_id, doc_id AS rep_id FROM (
+    SELECT cluster_id, doc_id,
+      row_number() OVER (PARTITION BY cluster_id
+                         ORDER BY n_chars DESC, doc_id) AS rn
+    FROM sc) WHERE rn = 1),
+cs AS (SELECT cluster_id, count(*) AS cluster_size FROM sc GROUP BY 1)
+SELECT s.doc_id, s.cluster_id, c.cluster_size, r.rep_id,
+  s.doc_id = r.rep_id AS keep, s.n_chars,
+  CAST(1 AS DOUBLE) / c.cluster_size AS weight
+FROM sc s JOIN rp r USING (cluster_id) JOIN cs c USING (cluster_id)"""
+
+  /** Post-clustering size histogram — the monitoring surface a 100 TB
+    * dedup run watches per partition-day: how many clusters of each size,
+    * how many documents they hold, how many a keep-one policy would drop.
+    * Two partial-combined aggregates; rows out = distinct cluster sizes.
+    */
+  def ddClusterStats(spark: SparkSession, dir: String): DataFrame =
+    ccAssign(spark, dir)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"),
+        sum(col("cluster_size") - 1).as("n_dropped"))
+
+  private val ddClusterStatsSql =
+    s"""WITH RECURSIVE ${OracleGen.nrmCte},
+${OracleGen.wordNgramCtes(ngramN)},
+${OracleGen.invertedIndexCandsCte},
+${OracleGen.jaccardPairsCte(ngramJaccardT)},
+${OracleGen.ccCte},
+cs AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY 1)
+SELECT cluster_size, count(*) AS n_clusters,
+  CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+  CAST(sum(cluster_size - 1) AS BIGINT) AS n_dropped
+FROM cs GROUP BY 1"""
+
   /** Token counting + basic quality stats (training-data extension).
     * Two token counts: whitespace tokens, and a BPE-ish regex count
     * (maximal letter runs | digit runs | single punctuation marks — the
@@ -585,6 +650,8 @@ ${OracleGen.ccSql}"""
     "dd_substring" -> (ddSubstring _),
     "snm_blocking" -> (snmBlocking _),
     "cc_clusters" -> (ccClusters _),
+    "dd_keeplist" -> (ddKeeplist _),
+    "dd_cluster_stats" -> (ddClusterStats _),
     "ta_tokens" -> (taTokens _),
     "q1_agg" -> (q1Agg _))
 
@@ -600,6 +667,8 @@ ${OracleGen.ccSql}"""
     "dd_substring" -> ddSubstringSql,
     "snm_blocking" -> snmBlockingSql,
     "cc_clusters" -> ccClustersSql,
+    "dd_keeplist" -> ddKeeplistSql,
+    "dd_cluster_stats" -> ddClusterStatsSql,
     "ta_tokens" -> taTokensSql,
     "q1_agg" -> q1AggSql)
 }

@@ -1194,6 +1194,38 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("keeplist election: argmax score, ties to smallest id, vs brute force") {
+    import spark.implicits._
+    // clusters with score ties, singletons, negative-looking ids, and a
+    // cluster whose max-score holder is NOT the min id
+    val assign = Seq(
+      ("a", 1L), ("b", 1L), ("c", 1L),   // tie on score 9 between b and c
+      ("d", 2L),                          // singleton
+      ("e", 3L), ("f", 3L),               // f wins on score
+      ("g", 4L), ("h", 4L), ("i", 4L))    // all tie -> min id g
+      .toDF("image_id", "cluster_id")
+    val scores = Seq(
+      "a" -> 1L, "b" -> 9L, "c" -> 9L, "d" -> 5L,
+      "e" -> 2L, "f" -> 7L, "g" -> 3L, "h" -> 3L, "i" -> 3L)
+      .toDF("image_id", "n_px")
+    val got = graft.ops.Keeplist.elect(assign, scores, "image_id", "n_px")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3),
+        r.getBoolean(4), r.getLong(5)))).toMap
+    val sc = scores.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byCluster = assign.collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      val ids = members.map(_._1)
+      val rep = ids.map(id => (-sc(id), id)).min._2
+      ids.foreach { id =>
+        assert(got(id) == ((cid, ids.length.toLong, rep, id == rep, sc(id))),
+          s"member $id of cluster $cid: ${got(id)}")
+      }
+    }
+    assert(got.values.count(_._4) == byCluster.size, "exactly one keep per cluster")
+  }
+
   test("ngramLmScore: counts and score match naive bigram arithmetic") {
     import spark.implicits._
     import graft.sig.Signatures

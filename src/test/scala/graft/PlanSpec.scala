@@ -442,6 +442,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("keeplist election is an aggregate, never a per-cluster window — " +
+    "giant clusters cost a combiner cell, not a task") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val assign = (0L until 300L).map(i => (s"im$i", i % 7)).toDF("image_id", "cluster_id")
+      val scores = (0L until 300L).map(i => (s"im$i", i * 31 % 97)).toDF("image_id", "n_px")
+      val plan = formatted(graft.ops.Keeplist.elect(assign, scores, "image_id", "n_px"))
+      assert(!plan.contains("Window"),
+        s"election must be an argmin aggregate, not a window:\n$plan")
+      assert(!plan.contains("Exchange SinglePartition"), s"plan:\n$plan")
+      assert(!plan.contains("CartesianProduct"))
+      assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+        s"expected an aggregate election:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("ds_shuffle rides the two-phase prefix sum: bucketed window + " +
     "broadcast offsets, no global sort, no single-partition stage") {
     import spark.implicits._
