@@ -1144,6 +1144,46 @@ SELECT s.image_id, s.cluster_id, c.cluster_size, r.rep_id,
   s.image_id = r.rep_id AS keep, s.n_px
 FROM sc s JOIN rp r USING (cluster_id) JOIN cs c USING (cluster_id)"""
 
+  /** mm_filter thresholds — chosen so every rule is EXERCISED on the
+    * n=400 demo table (257 low-res, 62 bad-aspect, 44 short-caption rows):
+    * min 2500 decoded pixels, aspect ratio ≤ 3:2, caption 10–64 words.
+    * At corpus scale these are per-run config, not constants.
+    */
+  val mmFilterMinPx = 2500L
+  val mmFilterAspectN = 3; val mmFilterAspectD = 2
+  val mmFilterMinWords = 10; val mmFilterMaxWords = 64
+
+  /** LAION-style curation gate over the image table — the keep/drop +
+    * reason decision a multimodal pipeline applies BEFORE any dedup work:
+    * resolution, aspect-ratio, and caption-length rules as pure integer
+    * Column predicates ([[graft.ops.Curation.imageFilter]] — a narrow
+    * map stage, zero shuffles past the input join). Dims are DECODED
+    * (memoized [[mmFeats]] stage), the oracle reads the generator's
+    * intended dims from the side table — a wrong decode flips n_px and
+    * breaks the hash. The caption join is broadcast at demo scale; in
+    * production the caption rides the same row and the operator is pure
+    * map.
+    */
+  def mmFilter(spark: SparkSession, dir: String): DataFrame = {
+    val gen = graft.gen.ImageGen.generate(spark, mmImageN, seed = mmImageSeed, partitions = 8)
+    ensureMmMeta(gen)
+    val caps = graft.gen.ImageGen.asImages(gen).toDF()
+      .select(col("image_id"), col("caption"))
+    val dims = mmFeats(spark, dir).where(col("decode_ok"))
+      .select(col("id").as("image_id"), col("w"), col("h"))
+    graft.ops.Curation.imageFilter(dims.join(caps, Seq("image_id")),
+        mmFilterMinPx, mmFilterAspectN, mmFilterAspectD,
+        mmFilterMinWords, mmFilterMaxWords)
+      .select(col("image_id"), col("w"), col("h"), col("n_px"),
+        col("n_cap_words"), col("keep"), col("drop_reason"))
+  }
+
+  private val mmFilterSql =
+    s"""SELECT image_id, w, h,
+  ${graft.ops.Curation.imageFilterSql(mmFilterMinPx, mmFilterAspectN,
+        mmFilterAspectD, mmFilterMinWords, mmFilterMaxWords)}
+FROM read_parquet('$mmMetaPath/*.parquet')"""
+
   /** Frame sampling end-to-end gate: the query demuxes the binary video
     * column and sums sampled frames' bytes; the oracle reads the
     * generator's per-frame truth (computed from the pixel function, never
@@ -1906,6 +1946,7 @@ JOIN fmtr f ON f.exp_cluster = cl.exp_cluster AND f.rn = 1"""
     "mm_exact" -> (mmExact _),
     "mm_dedup_clusters" -> (mmDedupClusters _),
     "mm_keeplist" -> (mmKeeplist _),
+    "mm_filter" -> (mmFilter _),
     "mm_caption_mismatch" -> (mmCaptionMismatch _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_video_dupes" -> (mmVideoDupes _),
@@ -1961,6 +2002,7 @@ JOIN fmtr f ON f.exp_cluster = cl.exp_cluster AND f.rn = 1"""
     "mm_exact" -> mmExactSql,
     "mm_dedup_clusters" -> mmDedupClustersSql,
     "mm_keeplist" -> mmKeeplistSql,
+    "mm_filter" -> mmFilterSql,
     "mm_caption_mismatch" -> mmCaptionMismatchSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_video_dupes" -> mmVideoDupesSql,

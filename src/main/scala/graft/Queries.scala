@@ -95,11 +95,22 @@ object Queries {
     * (quadratic-pairing skew guard); verification counts all shared
     * shingles, so Jaccard is exact.
     */
+  /** Memoized capped inverted-index candidate pairs over the hashed word
+    * n-gram shingles — shared by the Jaccard family ([[ngramScoredAll]])
+    * and the containment query (which scores the same candidates with an
+    * asymmetric measure).
+    */
+  private def ngramCands(spark: SparkSession, dir: String): DataFrame =
+    QueryCache.memo(spark, "ngram_cands", dir) {
+      val keyed = docHashedShingles(spark, dir)
+        .select(col("id"), explode(col("shs")).as("key"))
+      Blocking.pairsFromKeys(keyed, Some(bucketCap))
+    }
+
   def ngramScoredAll(spark: SparkSession, dir: String): DataFrame =
     QueryCache.memo(spark, "ngram_scored", dir) {
       val shs = docHashedShingles(spark, dir)
-      val keyed = shs.select(col("id"), explode(col("shs")).as("key"))
-      val cands = Blocking.pairsFromKeys(keyed, Some(bucketCap))
+      val cands = ngramCands(spark, dir)
       val s1 = shs.select(col("id").as("id1"), col("shs").as("sh1"))
       val s2 = shs.select(col("id").as("id2"), col("shs").as("sh2"))
       cands.join(s1, Seq("id1")).join(s2, Seq("id2"))
@@ -586,6 +597,115 @@ SELECT cluster_size, count(*) AS n_clusters,
   CAST(sum(cluster_size - 1) AS BIGINT) AS n_dropped
 FROM cs GROUP BY 1"""
 
+  /** Minimum containment |A∩B| / min(|A|,|B|) for the asymmetric near-dup
+    * pass — catches subset/quote duplicates (a short doc embedded in a
+    * long one) whose Jaccard sits far below [[ngramJaccardT]] because the
+    * union is dominated by the longer side. The standard companion to the
+    * symmetric Jaccard pass in web-corpus dedup (the "containment" of
+    * Broder's resemblance/containment pair).
+    */
+  val containmentT = 0.9
+
+  /** Asymmetric containment near-dup pairs over the SAME capped
+    * inverted-index candidates as the Jaccard family (memoized
+    * [[ngramCands]]; the scoring join re-runs with the asymmetric
+    * denominator — one sort-merge join, no new blocking pass). Outputs
+    * integer sizes and a single-division double, hash-safe.
+    */
+  def ddContainment(spark: SparkSession, dir: String): DataFrame = {
+    val shs = docHashedShingles(spark, dir)
+    val s1 = shs.select(col("id").as("id1"), col("shs").as("sh1"))
+    val s2 = shs.select(col("id").as("id2"), col("shs").as("sh2"))
+    ngramCands(spark, dir).join(s1, Seq("id1")).join(s2, Seq("id2"))
+      .withColumn("n_common",
+        graft.functions.SortedIntersect.card(col("sh1"), col("sh2")).cast("long"))
+      .withColumn("n1", size(col("sh1")).cast("long"))
+      .withColumn("n2", size(col("sh2")).cast("long"))
+      .withColumn("containment",
+        col("n_common").cast("double") / least(col("n1"), col("n2")))
+      .where(col("containment") >= containmentT)
+      .select(col("id1"), col("id2"), col("n1"), col("n2"), col("n_common"),
+        col("containment"))
+  }
+
+  private val ddContainmentSql =
+    s"""WITH ${OracleGen.nrmCte},
+${OracleGen.wordNgramCtes(ngramN)},
+${OracleGen.invertedIndexCandsCte},
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.id1, c.id2, count(*) AS c
+  FROM cands c
+  JOIN sh s1 ON s1.doc_id = c.id1
+  JOIN sh s2 ON s2.doc_id = c.id2 AND s2.sh = s1.sh
+  GROUP BY 1, 2)
+SELECT i.id1, i.id2,
+  CAST(c1.n AS BIGINT) AS n1, CAST(c2.n AS BIGINT) AS n2,
+  CAST(i.c AS BIGINT) AS n_common,
+  CAST(i.c AS DOUBLE) / least(c1.n, c2.n) AS containment
+FROM inter i
+JOIN cnt c1 ON c1.doc_id = i.id1
+JOIN cnt c2 ON c2.doc_id = i.id2
+WHERE CAST(i.c AS DOUBLE) / least(c1.n, c2.n) >= $containmentT"""
+
+  /** CDC window size (bytes) and boundary modulus (expected chunk length).
+    * mod 16 over ~300-char docs yields ~18 chunks/doc — enough shared
+    * chunks between near-dup docs for the storage-savings signal.
+    */
+  val cdcK = 8
+  val cdcMod = 16
+
+  /** Content-defined-chunking dedup — the storage-side dedup a 100 TB
+    * corpus store runs below the semantic layer: chunk every document at
+    * content-defined boundaries (positional rolling-hash rule, native
+    * [[graft.functions.CdcChunks]] kernel — boundaries survive edits
+    * elsewhere in the doc, unlike fixed-width chunking), then keep only
+    * the globally-first instance of each chunk (first = min (doc_id, idx),
+    * an argmin AGGREGATE per chunk hash — never a window, so a
+    * pathologically common chunk costs a combiner cell, not a task).
+    * Per doc: chunk count, kept count, total and saved bytes.
+    */
+  def ddCdc(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.cdcDedup(docNorm(spark, dir), "norm", cdcK, cdcMod)
+
+  private val ddCdcSql =
+    s"""WITH ${OracleGen.nrmCte},
+base AS (SELECT doc_id, norm, length(norm) AS l FROM nrm WHERE length(norm) > 0),
+pos AS (
+  SELECT doc_id, norm, unnest(generate_series($cdcK, l)) AS i
+  FROM base WHERE l >= $cdcK),
+bnd AS (
+  SELECT doc_id, i FROM pos
+  WHERE ${Signatures.hash60Sql(s"substr(norm, i - ${cdcK - 1}, $cdcK)")} % $cdcMod = 0),
+cuts AS (
+  SELECT doc_id,
+    coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1 AS st,
+    i AS en
+  FROM bnd),
+tails AS (
+  SELECT b.doc_id, coalesce(max(d.i), 0) + 1 AS st, max(b.l) AS en
+  FROM base b LEFT JOIN bnd d USING (doc_id)
+  GROUP BY b.doc_id HAVING coalesce(max(d.i), 0) < max(b.l)),
+seg AS (SELECT * FROM cuts UNION ALL SELECT * FROM tails),
+ch AS (
+  SELECT g.doc_id,
+    row_number() OVER (PARTITION BY g.doc_id ORDER BY g.st) - 1 AS idx,
+    substr(b.norm, g.st, g.en - g.st + 1) AS chunk
+  FROM seg g JOIN base b USING (doc_id)),
+h AS (
+  SELECT doc_id, idx, ${Signatures.hash60Sql("chunk")} AS h,
+    length(chunk) AS len
+  FROM ch),
+fw AS (
+  SELECT doc_id, idx, len,
+    row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS r
+  FROM h)
+SELECT doc_id, count(*) AS n_chunks,
+  CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(sum(len) AS BIGINT) AS bytes_total,
+  CAST(sum(CASE WHEN r = 1 THEN 0 ELSE len END) AS BIGINT) AS bytes_saved
+FROM fw GROUP BY 1"""
+
   /** Token counting + basic quality stats (training-data extension).
     * Two token counts: whitespace tokens, and a BPE-ish regex count
     * (maximal letter runs | digit runs | single punctuation marks — the
@@ -652,6 +772,8 @@ FROM cs GROUP BY 1"""
     "cc_clusters" -> (ccClusters _),
     "dd_keeplist" -> (ddKeeplist _),
     "dd_cluster_stats" -> (ddClusterStats _),
+    "dd_containment" -> (ddContainment _),
+    "dd_cdc" -> (ddCdc _),
     "ta_tokens" -> (taTokens _),
     "q1_agg" -> (q1Agg _))
 
@@ -669,6 +791,8 @@ FROM cs GROUP BY 1"""
     "cc_clusters" -> ccClustersSql,
     "dd_keeplist" -> ddKeeplistSql,
     "dd_cluster_stats" -> ddClusterStatsSql,
+    "dd_containment" -> ddContainmentSql,
+    "dd_cdc" -> ddCdcSql,
     "ta_tokens" -> taTokensSql,
     "q1_agg" -> q1AggSql)
 }

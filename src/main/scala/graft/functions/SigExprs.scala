@@ -295,6 +295,42 @@ object SigKernels {
     out
   }
 
+  // --------------------------------------------------------- CDC chunking
+
+  /** Content-defined chunks of an ASCII string: a chunk boundary falls
+    * AFTER position i (1-based) whenever the hash60 of the k-byte window
+    * ENDING at i is ≡ 0 (mod `mod`) — a purely positional rule (no
+    * min/max-length clamps), so boundaries survive arbitrary insertions
+    * and deletions elsewhere in the document AND the DuckDB oracle can
+    * recompute them per-position without replaying sequential state.
+    * Strings shorter than k form a single chunk; the empty string yields
+    * no chunks. Expected chunk length ≈ `mod` bytes.
+    */
+  def cdcChunks(s: UTF8String, k: Int, mod: Int): ArrayData = {
+    val n = s.numBytes()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    def slice(from: Int, until: Int): UTF8String = {
+      val buf = new Array[Byte](until - from)
+      Platform.copyMemory(base, off + from, buf, Platform.BYTE_ARRAY_OFFSET, until - from)
+      UTF8String.fromBytes(buf)
+    }
+    if (n < k) return new GenericArrayData(Array[Any](slice(0, n)))
+    val out = new java.util.ArrayList[AnyRef]()
+    var start = 0
+    var i = k // window end (exclusive, 0-based) == 1-based end position
+    while (i <= n) {
+      if (hash60Bytes(base, off + i - k, k) % mod == 0) {
+        out.add(slice(start, i))
+        start = i
+      }
+      i += 1
+    }
+    if (start < n) out.add(slice(start, n))
+    new GenericArrayData(out.toArray)
+  }
+
   private val mdLocal: ThreadLocal[java.security.MessageDigest] =
     new ThreadLocal[java.security.MessageDigest] {
       override def initialValue(): java.security.MessageDigest =
@@ -545,6 +581,30 @@ case class SimHashWords(child: Expression, bits: Int, fast: Boolean)
 }
 
 /** Column-level constructors. */
+/** Content-defined chunks (array<string>) of a normalized ASCII string —
+  * see [[SigKernels.cdcChunks]] for the positional boundary rule.
+  */
+case class CdcChunks(child: Expression, k: Int, mod: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"cdc_chunks requires string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    SigKernels.cdcChunks(input.asInstanceOf[UTF8String], k, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SigKernels.cdcChunks($c, $k, $mod)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SigExprs {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
@@ -566,4 +626,6 @@ object SigExprs {
     column(Hash60Shingles(expression(c), k))
   def simHashWords(c: Column, bits: Int, fast: Boolean): Column =
     column(SimHashWords(expression(c), bits, fast))
+  def cdcChunks(c: Column, k: Int, mod: Int): Column =
+    column(CdcChunks(expression(c), k, mod))
 }

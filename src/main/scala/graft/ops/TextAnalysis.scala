@@ -328,6 +328,39 @@ object TextAnalysis {
           transform(col("_ki"), i => chunkAt(col("_ws"), i)), " ")).as("kept_hash"))
   }
 
+  /** Content-defined-chunking dedup — the storage-side dedup below the
+    * semantic layer: chunk each (pre-normalized) document at positional
+    * rolling-hash boundaries (native [[graft.functions.CdcChunks]] kernel;
+    * boundaries survive edits elsewhere in the doc, unlike fixed-width
+    * chunking), keep the globally-first instance of each chunk, report
+    * per-doc chunk/kept counts and total/saved bytes.
+    *
+    * Scale shape mirrors [[paragraphDedup]]: the dedup plane carries
+    * (hash, doc_id, idx, len) only — chunk TEXT never shuffles; the
+    * first-occurrence election is an argmin AGGREGATE per chunk hash
+    * (never a window), so a pathologically common chunk costs one
+    * combiner cell, not one task.
+    */
+  def cdcDedup(norm: DataFrame, normCol: String, k: Int, mod: Int): DataFrame = {
+    val chunks = norm
+      .where(length(col(normCol)) > 0)
+      .select(col("doc_id"),
+        posexplode(graft.functions.SigExprs.cdcChunks(col(normCol), k, mod)))
+      .select(col("doc_id"), col("pos").as("idx"),
+        Signatures.hash60Col(col("col")).as("h"),
+        length(col("col")).cast("long").as("len"))
+    val firsts = chunks.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+    chunks.join(firsts, Seq("h"))
+      .withColumn("_kept",
+        col("f.doc_id") === col("doc_id") && col("f.idx") === col("idx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("_kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("len")).as("bytes_total"),
+        sum(when(col("_kept"), 0L).otherwise(col("len"))).as("bytes_saved"))
+  }
+
   /** Corpus-derived bigram "language model" quality score — the KenLM-style
     * score-against-the-corpus filter (CCNet, Wenzek et al. 2020 §4.3)
     * reduced to count arithmetic so the gate stays hash-exact: phase 1

@@ -1194,6 +1194,72 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("curation imageFilter: brute-force parity, rule precedence, threshold edges") {
+    import spark.implicits._
+    val minPx = 100L; val aN = 3; val aD = 2; val minW = 2; val maxW = 4
+    // rows hitting: exact-threshold pixels, exact-ratio aspect, caption at
+    // both word bounds, multi-failure precedence, all-pass
+    val rows = Seq(
+      ("a", 10, 10, "two words"),            // n_px == minPx exactly -> pass res
+      ("b", 9, 11, "two words"),             // 99 px -> low_res
+      ("c", 15, 10, "two words"),            // ratio 1.5 == 3/2 exactly -> pass
+      ("d", 16, 10, "two words"),            // ratio 1.6 -> aspect
+      ("e", 10, 10, "one"),                  // 1 word -> caption
+      ("f", 10, 10, "a b c d e"),            // 5 words -> caption
+      ("g", 10, 10, "a b c d"),              // 4 words == max -> pass
+      ("h", 5, 5, "x"),                      // low_res AND caption -> low_res wins
+      ("i", 40, 10, "")                      // aspect AND caption -> aspect wins
+    ).toDF("image_id", "w", "h", "caption")
+    val got = graft.ops.Curation.imageFilter(rows, minPx, aN, aD, minW, maxW)
+      .select("image_id", "n_px", "n_cap_words", "keep", "drop_reason")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getInt(2), r.getBoolean(3), r.getString(4)))).toMap
+    def brute(w: Int, h: Int, cap: String) = {
+      val px = w.toLong * h
+      val nw = cap.split(" ", -1).length
+      val reason =
+        if (px < minPx) "low_res"
+        else if (math.max(w, h) * aD > math.min(w, h) * aN) "aspect"
+        else if (nw < minW || nw > maxW) "caption"
+        else "ok"
+      (px, nw, reason == "ok", reason)
+    }
+    rows.collect().foreach { r =>
+      val id = r.getString(0)
+      assert(got(id) == brute(r.getInt(1), r.getInt(2), r.getString(3)),
+        s"row $id: ${got(id)}")
+    }
+    assert(got("a")._3 && got("c")._3 && got("g")._3)
+    assert(got("h")._4 == "low_res" && got("i")._4 == "aspect")
+  }
+
+  test("containment catches subset duplicates symmetric Jaccard misses") {
+    import spark.implicits._
+    import graft.sig.Signatures
+    // B's shingle set is a strict subset of A's: containment 1.0 but
+    // Jaccard well under the 0.6 catalog threshold
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val short = (1 to 10).map(i => s"w$i").mkString(" ")
+    val shs = Seq((1L, long), (2L, short)).toDF("doc_id", "text")
+      .select(col("doc_id").as("id"),
+        array_sort(transform(
+          Signatures.wordNgramsCol(Signatures.normalizeCol(col("text")), 3),
+          s => Signatures.hash60Col(s))).as("shs"))
+    val s1 = shs.select(col("id").as("id1"), col("shs").as("sh1"))
+    val s2 = shs.select(col("id").as("id2"), col("shs").as("sh2"))
+    val pair = s1.crossJoin(s2).where(col("id1") < col("id2"))
+      .select(
+        graft.functions.SortedIntersect.card(col("sh1"), col("sh2")).as("c"),
+        size(col("sh1")).as("n1"), size(col("sh2")).as("n2"))
+      .head()
+    val (c, n1, n2) = (pair.getInt(0), pair.getInt(1), pair.getInt(2))
+    val jaccard = c.toDouble / (n1 + n2 - c)
+    val containment = c.toDouble / math.min(n1, n2)
+    assert(containment == 1.0, s"subset containment must be 1.0, got $containment")
+    assert(jaccard < Queries.ngramJaccardT,
+      s"jaccard $jaccard should sit below the symmetric threshold")
+  }
+
   test("keeplist election: argmax score, ties to smallest id, vs brute force") {
     import spark.implicits._
     // clusters with score ties, singletons, negative-looking ids, and a

@@ -460,6 +460,46 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("cdc dedup: chunk text never shuffles, first-wins is an aggregate " +
+    "join (no window), no cartesian") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = (0L until 60L)
+        .map(i => (i, s"repeated shared prefix text block number ${i % 5} " +
+          s"with a unique tail segment $i"))
+        .toDF("doc_id", "norm")
+      val plan = formatted(
+        graft.ops.TextAnalysis.cdcDedup(docs, "norm", 8, 16))
+      assert(!plan.contains("Window"),
+        s"first-wins must be an argmin aggregate, not a window:\n$plan")
+      assert(!plan.contains("CartesianProduct"))
+      assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"))
+      // the shuffle plane carries hashes and lengths, never chunk strings:
+      // no Exchange row mentions the exploded chunk column
+      val exchanges = plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+      assert(!exchanges.contains("col#"),
+        s"chunk text must not appear in any exchange:\n$exchanges")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("curation imageFilter is a pure narrow map: zero exchanges, " +
+    "whole-stage codegen, no UDF") {
+    val rows = spark.read.parquet(inputPath)
+      .select(col("image_id"), col("w"), col("h"), col("caption"))
+    val plan = formatted(graft.ops.Curation.imageFilter(
+      rows, 2500L, 3, 2, 10, 64))
+    assert(!plan.contains("Exchange"), s"filter must add no shuffle:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"no UDF in the filter path:\n$plan")
+    // formatted mode marks whole-stage-codegen nodes with a leading '*'
+    assert(plan.contains("* Project"), s"filter must stay in codegen:\n$plan")
+    // bytes pruned: the filter's scan reads only the metadata columns
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("bytes"), s"scan must prune bytes: $readSchema")
+  }
+
   test("ds_shuffle rides the two-phase prefix sum: bucketed window + " +
     "broadcast offsets, no global sort, no single-partition stage") {
     import spark.implicits._

@@ -135,6 +135,41 @@ class SigExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("cdcChunks: lossless concatenation + positional boundary rule vs brute force") {
+    val k = 8; val mod = 16
+    val got = df.select(col("norm"),
+      graft.functions.SigExprs.cdcChunks(col("norm"), k, mod).as("ch"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1))
+    got.foreach { case (s, chunks) =>
+      assert(chunks.mkString == s, s"chunks must concatenate to input '$s'")
+      if (s.isEmpty) assert(chunks.isEmpty, "empty string yields no chunks")
+      else if (s.length < k) assert(chunks == Seq(s), "short string is one chunk")
+      else {
+        assert(chunks.forall(_.nonEmpty), s"no empty chunks for '$s'")
+        // brute-force boundary positions: window END i (1-based) where
+        // hash60 of the k-gram ending at i is 0 mod `mod`
+        val bounds = (k to s.length)
+          .filter(i => Signatures.hash60(s.substring(i - k, i)) % mod == 0)
+        val ends = chunks.scanLeft(0)(_ + _.length).tail
+        val expEnds =
+          if (bounds.lastOption.contains(s.length)) bounds else bounds :+ s.length
+        assert(ends == expEnds, s"cut positions mismatch for '$s'")
+      }
+    }
+    // edits BEFORE a boundary leave chunking after it untouched
+    // (content-defined, not offset-defined)
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val edited = "zzz " + base
+    val s2 = spark
+    import s2.implicits._
+    val two = Seq(base, edited).toDF("norm")
+      .select(graft.functions.SigExprs.cdcChunks(col("norm"), k, mod).as("ch"))
+      .collect().map(_.getSeq[String](0))
+    val Seq(cBase, cEdit) = two.toSeq
+    if (cBase.length > 1 && cEdit.length > 1)
+      assert(cBase.last == cEdit.last, "trailing chunks must realign after an edit")
+  }
+
   test("bandHashKeys: deterministic, band-positional, 58-bit masked (namespace-safe)") {
     val cfg = DedupConfig()
     val sigCol = Signatures.minHashFromHashesCol(
