@@ -360,6 +360,58 @@ p AS (
 SELECT id1, id2, cosine FROM p WHERE cosine >= $embThreshold"""
   }
 
+  /** SemDeDup completed end-to-end (Abbas et al. 2023): ε-cosine pairs
+    * within quantizer cells ([[ddSemantic]]) → connected components over
+    * the pair graph (singletons keep their own id) → per-component
+    * survivor election by the paper's keep policy — retain the example the
+    * quantizer represents WORST (argmin of the IVF assignment score
+    * max_c(v·c − ‖c‖²/2), the "most marginal / most diverse" member; ties
+    * to the lowest vec_id). The score is a native codegen expression with
+    * the oracle's exact fold arithmetic (`list_max(ss)` over the same
+    * centroid literals), the election an argmin AGGREGATE (never a
+    * per-cluster window), so the full SemDeDup chain — quantize, pair,
+    * cluster, elect — is one hash gate.
+    */
+  def ddSemanticKeep(spark: SparkSession, dir: String): DataFrame = {
+    val edges = ddSemantic(spark, dir).select(col("id1"), col("id2"))
+    val assign = graft.cluster.ConnectedComponents
+      .assignAll(embBase(spark, dir), "vec_id", edges)
+      .select(col("id").as("vec_id"), col("cluster_id"))
+    val cents = Embeddings.ivfCentroids(16, 64, 42L)
+    val scores = embBase(spark, dir).select(col("vec_id"),
+      graft.functions.IvfBestScore(col("embedding"), cents).as("q_score"))
+    graft.ops.Keeplist.elect(assign, scores, "vec_id", "q_score", argmin = true)
+  }
+
+  private val ddSemanticKeepSql = {
+    val cos = "list_dot_product(a.v, b.v) / " +
+      "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+    s"""WITH RECURSIVE ${OracleGen.ivfCtes(numCells = 16, dim = 64, seed = 42L)},
+asg AS (SELECT vec_id, v, c AS cell FROM rc WHERE crank <= 2),
+pr AS (
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE $cos >= $embThreshold),
+ed AS (SELECT id1 AS a, id2 AS b FROM pr UNION ALL SELECT id2, id1 FROM pr),
+reach(n, r) AS (
+  SELECT vec_id, vec_id FROM e
+  UNION
+  SELECT reach.n, ed.b FROM reach JOIN ed ON ed.a = reach.r),
+cc AS (SELECT n AS vec_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+q AS (SELECT vec_id, list_max(ss) AS q_score FROM sc),
+scj AS (SELECT c.vec_id, c.cluster_id, q.q_score FROM cc c JOIN q USING (vec_id)),
+rp AS (
+  SELECT cluster_id, vec_id AS rep_id FROM (
+    SELECT cluster_id, vec_id,
+      row_number() OVER (PARTITION BY cluster_id
+                         ORDER BY q_score, vec_id) AS rn
+    FROM scj) WHERE rn = 1),
+cs AS (SELECT cluster_id, count(*) AS cluster_size FROM scj GROUP BY 1)
+SELECT s.vec_id, s.cluster_id, c.cluster_size, r.rep_id,
+  s.vec_id = r.rep_id AS keep, s.q_score
+FROM scj s JOIN rp r USING (cluster_id) JOIN cs c USING (cluster_id)"""
+  }
+
   // ------------------------------------------------------- text analysis
 
   def taLangid(spark: SparkSession, dir: String): DataFrame =
@@ -1906,6 +1958,7 @@ JOIN fmtr f ON f.exp_cluster = cl.exp_cluster AND f.rn = 1"""
     "ann_pq_trained" -> (annPqTrained _),
     "emb_pairs" -> (embPairs _),
     "dd_semantic" -> (ddSemantic _),
+    "dd_semantic_keep" -> (ddSemanticKeep _),
     "ta_langid" -> (taLangid _),
     "ta_quality" -> (taQuality _),
     "ta_repetition" -> (taRepetition _),
@@ -1964,6 +2017,7 @@ JOIN fmtr f ON f.exp_cluster = cl.exp_cluster AND f.rn = 1"""
     "ann_pq_trained" -> annPqTrainedSql,
     "emb_pairs" -> embPairsSql,
     "dd_semantic" -> ddSemanticSql,
+    "dd_semantic_keep" -> ddSemanticKeepSql,
     "ta_langid" -> taLangidSql,
     "ta_quality" -> taQualitySql,
     "ta_repetition" -> taRepetitionSql,

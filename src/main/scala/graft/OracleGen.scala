@@ -13,6 +13,19 @@ object OracleGen {
 
   private val P = Signatures.P
 
+  /** DOUBLE-typed SQL literal. A plain 17-significant-digit decimal like
+    * `4.9012345678901234` parses in DuckDB as DECIMAL(17,16), whose
+    * int64-scaled representation double-rounds on the cast back to DOUBLE
+    * (10^16 > 2^53) — one ulp off the Scala double, which breaks any hash
+    * gate that EXPOSES the value (measured: dd_semantic_keep q_score).
+    * Exponent notation forces the DOUBLE parse path, which round-trips
+    * shortest-repr exactly.
+    */
+  def dlit(x: Double): String = {
+    val s = java.lang.Double.toString(x)
+    if (s.indexOf('E') >= 0 || s.indexOf('e') >= 0) s else s + "e0"
+  }
+
   /** CTE: (doc_id, norm) — normalized document text. */
   def nrmCte: String =
     s"nrm AS (SELECT doc_id, ${Signatures.normalizeSql("text")} AS norm FROM documents)"
@@ -233,8 +246,8 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM r WHERE ran
     val cents = graft.ops.Embeddings.ivfCentroids(numCells, dim, seed)
     val halfNorms = cents.map(c => c.map(x => x * x).sum / 2)
     val scoreList = cents.indices.map { c =>
-      val lits = cents(c).map(java.lang.Double.toString).mkString(", ")
-      s"list_dot_product(v, [$lits]) - ${java.lang.Double.toString(halfNorms(c))}"
+      val lits = cents(c).map(dlit).mkString(", ")
+      s"list_dot_product(v, [$lits]) - ${dlit(halfNorms(c))}"
     }.mkString(",\n    ")
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 sc AS (SELECT vec_id, v, [$scoreList] AS ss FROM e),
@@ -256,7 +269,7 @@ cells AS (SELECT vec_id AS neighbor_id, v AS nv, c AS cell FROM rc WHERE crank =
     * neighbor_id)` plus `e(vec_id, v)` for the exact re-rank.
     */
   private def cbLiteralSql(cb: Array[Array[Array[Double]]]): String =
-    cb.map(_.map(_.map(java.lang.Double.toString)
+    cb.map(_.map(_.map(dlit)
         .mkString("[", ", ", "]")).mkString("[", ", ", "]"))
       .mkString("[", ", ", "]")
 

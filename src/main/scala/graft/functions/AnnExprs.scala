@@ -103,6 +103,32 @@ object AnnKernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Best (maximum) IVF assignment score max_c(v·c − ‖c‖²/2) — the value
+    * the quantizer maximizes in [[ivfCells]], exposed as a per-vector
+    * quality score: LOW means the vector sits far from every centroid
+    * (poorly represented by the quantizer — the "marginal" example
+    * SemDeDup's keep policy favors). Same ascending-d product fold and the
+    * same halfNorm literals as [[ivfCells]]/the oracle's `ss` list, so the
+    * value equals DuckDB's `list_max(ss)` bit-for-bit.
+    */
+  def ivfBestScore(v: ArrayData, cents: Array[Array[Double]],
+                   halfNorms: Array[Double]): Double = {
+    requireNoNulls(v)
+    val n = v.numElements()
+    var best = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      var acc = 0.0
+      val p = cents(c)
+      var d = 0
+      while (d < n && d < p.length) { acc += p(d) * v.getFloat(d); d += 1 }
+      val s = acc - halfNorms(c)
+      if (s > best) best = s
+      c += 1
+    }
+    best
+  }
+
   /** v/‖v‖: ascending float-product double fold for the norm (identical
     * to FloatDotProduct.dot), then per-element double division.
     */
@@ -209,6 +235,44 @@ object IvfCells {
   def apply(c: Column, cents: Array[Array[Double]], nprobe: Int): Column =
     GraftColumnBridge.column(IvfCells(
       GraftColumnBridge.expression(c), cents, nprobe))
+}
+
+/** Maximum IVF assignment score of an array<float> embedding — see
+  * [[AnnKernels.ivfBestScore]].
+  */
+case class IvfBestScore(child: Expression, cents: Array[Array[Double]])
+    extends UnaryExpression {
+
+  @transient private lazy val halfNorms: Array[Double] =
+    cents.map(c => c.map(x => x * x).sum / 2)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ivf_best_score requires array<float>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override protected def nullSafeEval(input: Any): Any =
+    AnnKernels.ivfBestScore(input.asInstanceOf[ArrayData], cents, halfNorms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCents", cents, "double[][]")
+    val hRef = ctx.addReferenceObj("ivfHalfNorms", halfNorms, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.AnnKernels.ivfBestScore($c, $cRef, $hRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object IvfBestScore {
+  import org.apache.spark.sql.GraftColumnBridge
+  def apply(c: Column, cents: Array[Array[Double]]): Column =
+    GraftColumnBridge.column(IvfBestScore(
+      GraftColumnBridge.expression(c), cents))
 }
 
 /** Native PQ kernels: the per-row O(m·codes·subDim) nearest-codebook-entry

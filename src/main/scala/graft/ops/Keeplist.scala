@@ -23,13 +23,18 @@ object Keeplist {
 
   /** `assign` = (idCol, cluster_id); `scores` = (idCol, scoreCol).
     * Returns (idCol, cluster_id, cluster_size, rep_id, keep, scoreCol).
+    * Default elects argMAX score; `argmin = true` elects argMIN (SemDeDup's
+    * keep-the-marginal-example policy). Ties always break to the smallest
+    * id. Score negation for the argmax case is IEEE sign-flip — exact, so
+    * oracle hashes over the returned scoreCol are unaffected.
     */
   def elect(assign: DataFrame, scores: DataFrame, idCol: String,
-            scoreCol: String): DataFrame = {
+            scoreCol: String, argmin: Boolean = false): DataFrame = {
     val scored = assign.join(scores, Seq(idCol))
+    val ordKey = if (argmin) col(scoreCol) else -col(scoreCol)
     val reps = scored.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"),
-        min(struct((-col(scoreCol)).as("s"), col(idCol).as("i"))).as("_f"))
+        min(struct(ordKey.as("s"), col(idCol).as("i"))).as("_f"))
       .select(col("cluster_id"), col("cluster_size"), col("_f.i").as("rep_id"))
     scored.join(reps, Seq("cluster_id"))
       .select(col(idCol), col("cluster_id"), col("cluster_size"),

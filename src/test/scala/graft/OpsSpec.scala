@@ -1194,6 +1194,41 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfBestScore: equals the Scala fold max over the same centroids, " +
+    "and elect(argmin) keeps the lowest-scored member") {
+    import spark.implicits._
+    val cents = Embeddings.ivfCentroids(16, 64, 42L)
+    val halfNorms = cents.map(c => c.map(x => x * x).sum / 2)
+    val vecs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .limit(50)
+    val got = vecs.select(col("vec_id"),
+      graft.functions.IvfBestScore(col("embedding"), cents).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val raw = vecs.select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    raw.foreach { case (id, v) =>
+      val want = cents.indices.map { c =>
+        var acc = 0.0
+        var d = 0
+        while (d < v.length && d < cents(c).length) {
+          acc += cents(c)(d) * v(d); d += 1
+        }
+        acc - halfNorms(c)
+      }.max
+      assert(got(id) == want, s"vec $id: ${got(id)} != $want")
+    }
+    // argmin election: the kept member of each cluster has the minimum
+    // score (ties to lowest id)
+    val assign = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L))
+      .toDF("vec_id", "cluster_id")
+    val scores = Seq(1L -> 5.0, 2L -> 3.0, 3L -> 3.0, 4L -> 9.0)
+      .toDF("vec_id", "q_score")
+    val reps = graft.ops.Keeplist.elect(assign, scores, "vec_id", "q_score",
+        argmin = true)
+      .where(col("keep")).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(reps == Set(2L, 4L), s"argmin reps: $reps")
+  }
+
   test("curation imageFilter: brute-force parity, rule precedence, threshold edges") {
     import spark.implicits._
     val minPx = 100L; val aN = 3; val aD = 2; val minW = 2; val maxW = 4
