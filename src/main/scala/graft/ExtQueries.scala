@@ -847,6 +847,47 @@ FROM s GROUP BY 1, 2"""
        sum(value)::FLOAT AS sum_value
        FROM events GROUP BY 1, 2, 3"""
 
+  /** Linear-counting bitmap width (bits) for the distinct-user sketch. */
+  val approxUsersM = 4096
+
+  def evApproxUsers(spark: SparkSession, dir: String): DataFrame =
+    Events.approxUsers(table(spark, dir, "events"), approxUsersM)
+
+  private val evApproxUsersSql =
+    s"""WITH b AS (
+  SELECT date_trunc('hour', ts) AS hour_ts, user_id,
+    (${Signatures.hash60Sql("'u:' || CAST(user_id AS VARCHAR)")} % $approxUsersM) AS bit
+  FROM events),
+w AS (
+  SELECT hour_ts, bit // 32 AS wi,
+    bit_or(1::BIGINT << CAST(bit % 32 AS INT)) AS word
+  FROM b GROUP BY 1, 2),
+s AS (SELECT hour_ts, CAST(sum(bit_count(word)) AS BIGINT) AS bits_set FROM w GROUP BY 1),
+e AS (SELECT hour_ts, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+      FROM b GROUP BY 1)
+SELECT e.hour_ts, e.n_events, e.n_users, s.bits_set
+FROM e JOIN s USING (hour_ts)"""
+
+  /** Path length and cut for the top event-type paths. */
+  val topPathsK = 5
+  val topPathsN = 20
+
+  def evTopkPaths(spark: SparkSession, dir: String): DataFrame =
+    Events.topPaths(table(spark, dir, "events"), topPathsK, topPathsN)
+
+  private val evTopkPathsSql =
+    s"""WITH r AS (
+  SELECT user_id, event_type,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path,
+    count(*) AS n_steps
+  FROM r WHERE rn <= $topPathsK GROUP BY 1)
+SELECT path, CAST(max(n_steps) AS BIGINT) AS n_steps, count(*) AS n_users
+FROM p GROUP BY 1
+ORDER BY n_users DESC, path LIMIT $topPathsN"""
+
   /** Refinement over the cc_clusters partition: per-cluster exact/greedy
     * re-partition with jaccard-derived signed weights (the RefineCluster
     * port running in a cogroup). The planted near-dup clusters are
@@ -1990,6 +2031,8 @@ JOIN fmtr f ON f.exp_cluster = cl.exp_cluster AND f.rn = 1"""
     "sim_temporal" -> (simTemporal _),
     "snm_multipass" -> (snmMultipass _),
     "ev_hourly" -> (evHourly _),
+    "ev_approx_users" -> (evApproxUsers _),
+    "ev_topk_paths" -> (evTopkPaths _),
     "ev_sessionize" -> (evSessionize _),
     "refine_clusters" -> (refineClusters _),
     "dedup_lastwins" -> (dedupLastwins _),
@@ -2049,6 +2092,8 @@ JOIN fmtr f ON f.exp_cluster = cl.exp_cluster AND f.rn = 1"""
     "sim_temporal" -> simTemporalSql,
     "snm_multipass" -> snmMultipassSql,
     "ev_hourly" -> evHourlySql,
+    "ev_approx_users" -> evApproxUsersSql,
+    "ev_topk_paths" -> evTopkPathsSql,
     "ev_sessionize" -> evSessionizeSql,
     "mm_stats" -> mmStatsSql,
     "mm_phash_pairs" -> mmPhashPairsSql,

@@ -706,6 +706,51 @@ SELECT doc_id, count(*) AS n_chunks,
   CAST(sum(CASE WHEN r = 1 THEN 0 ELSE len END) AS BIGINT) AS bytes_saved
 FROM fw GROUP BY 1"""
 
+  /** Winnowing k-gram size and window width: guarantees any shared
+    * normalized substring of ≥ winnowW + winnowK - 1 = 11 chars shares a
+    * selected fingerprint, at expected density 2/(w+1) = 0.4.
+    */
+  val winnowK = 8
+  val winnowW = 4
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 — the
+    * MOSS scheme): windowed local-minimum selection over positional k-gram
+    * hashes, the INDEXABLE partial-overlap key family (see
+    * [[graft.ops.TextAnalysis.winnow]]). Zero exchanges — a pure codegen'd
+    * row map over the shared normalized-text stage; the oracle replays the
+    * per-position key arithmetic and the window min in SQL.
+    */
+  def taWinnow(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.winnow(docNorm(spark, dir), "norm", winnowK, winnowW)
+
+  private val taWinnowSql =
+    s"""WITH ${OracleGen.nrmCte},
+base AS (SELECT doc_id, norm, length(norm) AS l FROM nrm WHERE length(norm) > 0),
+g AS (
+  SELECT doc_id, norm, l,
+    CASE WHEN l < $winnowK THEN 1 ELSE l - ${winnowK - 1} END AS n
+  FROM base),
+pos AS (SELECT doc_id, norm, l, n, unnest(generate_series(0, n - 1)) AS i FROM g),
+keys AS (
+  SELECT doc_id, n, i,
+    ((${Signatures.hash60Sql(
+        s"CASE WHEN l < $winnowK THEN norm ELSE substr(norm, i + 1, $winnowK) END")}
+      % 1099511627776) * 1048576 + i) AS key
+  FROM pos),
+wins AS (
+  SELECT doc_id, n, i,
+    min(key) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND ${winnowW - 1} FOLLOWING) AS mk
+  FROM keys),
+sel AS (SELECT DISTINCT doc_id, mk FROM wins WHERE i <= greatest(n - $winnowW, 0)),
+agg AS (
+  SELECT doc_id, count(*) AS n_fp,
+    string_agg(CAST(mk AS VARCHAR), ',' ORDER BY mk) AS ks
+  FROM sel GROUP BY 1)
+SELECT g.doc_id, CAST(g.n AS BIGINT) AS n_grams, CAST(a.n_fp AS BIGINT) AS n_fp,
+  ${Signatures.hash60Sql("a.ks")} AS fp_hash
+FROM g JOIN agg a USING (doc_id)"""
+
   /** Token counting + basic quality stats (training-data extension).
     * Two token counts: whitespace tokens, and a BPE-ish regex count
     * (maximal letter runs | digit runs | single punctuation marks — the
@@ -775,6 +820,7 @@ FROM fw GROUP BY 1"""
     "dd_containment" -> (ddContainment _),
     "dd_cdc" -> (ddCdc _),
     "ta_tokens" -> (taTokens _),
+    "ta_winnow" -> (taWinnow _),
     "q1_agg" -> (q1Agg _))
 
   lazy val oracles: Map[String, String] = ExtQueries.oracles ++ Map(
@@ -794,5 +840,6 @@ FROM fw GROUP BY 1"""
     "dd_containment" -> ddContainmentSql,
     "dd_cdc" -> ddCdcSql,
     "ta_tokens" -> taTokensSql,
+    "ta_winnow" -> taWinnowSql,
     "q1_agg" -> q1AggSql)
 }

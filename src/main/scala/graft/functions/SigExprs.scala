@@ -295,6 +295,66 @@ object SigKernels {
     out
   }
 
+  // ------------------------------------------------------------ winnowing
+
+  /** Winnowing fingerprint keys (Schleimer, Wilkerson, Aiken, SIGMOD 2003)
+    * of an ASCII string: hash every char k-gram positionally, then in each
+    * window of `w` consecutive gram positions select the minimum key —
+    * the paper's guarantee is that any match of length ≥ w + k - 1 between
+    * two documents shares at least one selected fingerprint, at an
+    * expected density of 2/(w+1). Returned as the SORTED DISTINCT selected
+    * keys, where key = (hash60(gram) mod 2^40) * 2^20 + pos — the position
+    * is packed into the low 20 bits so ties inside a window (a gram
+    * repeating within w positions) break deterministically toward the
+    * EARLIEST position, by pure integer arithmetic a SQL oracle can
+    * replay per-position (no sequential state). Strings shorter than k
+    * yield the single whole-string gram; the empty string yields no keys.
+    */
+  def winnowKeys(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val n = s.numBytes()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nG = if (n < k) 1 else n - k + 1
+    val keys = new Array[Long](nG)
+    var i = 0
+    while (i < nG) {
+      val h = if (n < k) hash60Bytes(base, off, n) else hash60Bytes(base, off + i, k)
+      keys(i) = (h % 1099511627776L) * 1048576L + i
+      i += 1
+    }
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    var t = 0
+    val lastT = math.max(nG - w, 0)
+    while (t <= lastT) {
+      var m = Long.MaxValue
+      var j = t
+      val end = math.min(t + w, nG)
+      while (j < end) { if (keys(j) < m) m = keys(j); j += 1 }
+      sel.add(m)
+      t += 1
+    }
+    new GenericArrayData(sel.toArray(new Array[AnyRef](sel.size())))
+  }
+
+  /** Comma-joined decimal rendering of an array<bigint> — the digest
+    * preimage for fingerprint-set hashing ("1,2,3"; empty array → "").
+    * Exists so the join stays inside whole-stage codegen: the equivalent
+    * `array_join(transform(...))` is a higher-order function, which
+    * Catalyst evaluates interpreted and which splits the codegen stage.
+    */
+  def joinLongsCsv(a: ArrayData): UTF8String = {
+    val n = a.numElements()
+    val sb = new java.lang.StringBuilder(n * 12)
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(',')
+      sb.append(a.getLong(i))
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   // --------------------------------------------------------- CDC chunking
 
   /** Content-defined chunks of an ASCII string: a chunk boundary falls
@@ -605,6 +665,53 @@ case class CdcChunks(child: Expression, k: Int, mod: Int) extends UnaryExpressio
     copy(child = newChild)
 }
 
+/** Winnowing fingerprint keys (sorted distinct array<bigint>) — see
+  * [[SigKernels.winnowKeys]] for the selection rule and key packing.
+  */
+case class WinnowKeys(child: Expression, k: Int, w: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"winnow_keys requires string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    SigKernels.winnowKeys(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SigKernels.winnowKeys($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Comma-joined decimal string of an array<bigint> — codegen'd digest
+  * preimage; see [[SigKernels.joinLongsCsv]].
+  */
+case class JoinLongsCsv(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"join_longs_csv requires array<bigint>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(input: Any): Any =
+    SigKernels.joinLongsCsv(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SigKernels.joinLongsCsv($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SigExprs {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
@@ -628,4 +735,8 @@ object SigExprs {
     column(SimHashWords(expression(c), bits, fast))
   def cdcChunks(c: Column, k: Int, mod: Int): Column =
     column(CdcChunks(expression(c), k, mod))
+  def winnowKeys(c: Column, k: Int, w: Int): Column =
+    column(WinnowKeys(expression(c), k, w))
+  def joinLongsCsv(c: Column): Column =
+    column(JoinLongsCsv(expression(c)))
 }

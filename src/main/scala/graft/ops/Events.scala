@@ -203,6 +203,74 @@ object Events {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Top event-type paths: each user's first `k` events (by (ts, event_id))
+    * form an ordered path string; emit the `topN` most common paths with
+    * their user counts — the funnel-discovery complement to [[funnel]]'s
+    * fixed-stage conversion. One hash-partition on user_id feeds the
+    * row_number window AND the per-user path rollup (Catalyst reuses the
+    * exchange); the path-level count is a partial-combined aggregate over
+    * at most |event_types|^k keys, and the final topN plans as
+    * TakeOrderedAndProject (per-partition heap, driver merge — never a
+    * global sort). Ties at the cut break on the path string, so the
+    * result is deterministic and hash-exact.
+    */
+  def topPaths(events: DataFrame, k: Int = 5, topN: Int = 20): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("_rn", row_number().over(byUser))
+      .where(col("_rn") <= k)
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(
+          sort_array(collect_list(struct(col("_rn"), col("event_type")))),
+          s => s.getField("event_type")), ">").as("path"),
+        count(lit(1)).as("_n_steps"))
+      .groupBy(col("path"))
+      .agg(max(col("_n_steps")).as("n_steps"), count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(topN)
+  }
+
+  /** Distinct-user sketch per hour: linear-counting bitmap (Whang et al.
+    * 1990 — the fixed-size sketch family HLL refines) with m bits; each
+    * event sets bit hash60("u:" || user_id) mod m, bitmaps OR-merge. The
+    * sketch state is m/8 bytes REGARDLESS of cardinality, and OR is
+    * commutative/associative/idempotent — so at 100 TB the per-hour
+    * distinct estimate is a map-side-combined aggregate of bitmap words
+    * (groupBy(hour, word) + bit_or partial-combines before any exchange;
+    * at most m/32 rows per hour ever shuffle), where the exact
+    * countDistinct must shuffle every (hour, user) pair. Both are emitted
+    * side by side: `bits_set` is the sketch observable (estimate =
+    * -m*ln(1-bits_set/m); left to the reader — IEEE ln is not
+    * oracle-portable), `n_users` the exact truth it approximates.
+    * Deterministic integer arithmetic end to end; the DuckDB oracle
+    * rebuilds the identical bitmap. Words are 32-bit lanes (shift ≤ 31)
+    * because a shift by 63 overflows ANSI engines' checked BIGINT shift
+    * where the JVM's wraps — the portable-arithmetic discipline every
+    * oracle-mirrored kernel here follows.
+    */
+  def approxUsers(events: DataFrame, m: Int = 4096): DataFrame = {
+    require(m % 32 == 0, s"bitmap bits must be a multiple of 32, got $m")
+    val bit = graft.sig.Signatures.hash60Col(
+      concat(lit("u:"), col("user_id").cast("string"))) % m
+    val base = events.select(
+      date_trunc("hour", col("ts")).as("hour_ts"), col("user_id"),
+      (bit / 32).cast("int").as("_w"), (bit % 32).cast("int").as("_b"))
+    val bitsSet = base
+      .select(col("hour_ts"), col("_w"),
+        expr("shiftleft(CAST(1 AS BIGINT), _b)").as("_mask"))
+      .groupBy(col("hour_ts"), col("_w"))
+      .agg(bit_or(col("_mask")).as("_word"))
+      .groupBy(col("hour_ts"))
+      .agg(sum(bit_count(col("_word"))).as("bits_set"))
+    val exact = base
+      .groupBy(col("hour_ts"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+    exact.join(bitsSet, Seq("hour_ts"))
+      .select(col("hour_ts"), col("n_events"), col("n_users"), col("bits_set"))
+  }
+
   /** Per-event-type rollup over the extracted JSON field: classic
     * partial-aggregate shape (map-side combine on the handful of event
     * types, one tiny shuffle). All aggregates are order-independent

@@ -361,6 +361,38 @@ object TextAnalysis {
         sum(when(col("_kept"), 0L).otherwise(col("len"))).as("bytes_saved"))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD
+    * 2003 — the MOSS local fingerprinting scheme): hash every char k-gram
+    * of the normalized text, select the minimum key in each window of `w`
+    * consecutive positions (native codegen [[graft.functions.WinnowKeys]]
+    * kernel; earliest-position tie rule packed into the key's low bits so
+    * a SQL oracle replays the selection with pure integer arithmetic).
+    * Emits per doc: gram count, distinct selected-fingerprint count, and a
+    * hash60 digest of the sorted selected keys. The paper's guarantee —
+    * any shared substring of length ≥ w + k - 1 shares a fingerprint, at
+    * expected density 2/(w+1) — is what makes this the INDEXABLE near-dup
+    * key family: unlike [[fingerprint]]'s single global min-shingle, the
+    * selected set localizes matches, so a 100 TB index on (key → doc)
+    * finds partial overlaps with ~2/(w+1) of the k-gram index's rows.
+    *
+    * Scale shape: a pure row map — zero exchanges; the fingerprint set
+    * never leaves the row here (the index materialization is an explode
+    * away, and inherits the same cap discipline as the shingle indexes).
+    */
+  def winnow(norm: DataFrame, normCol: String, k: Int, w: Int): DataFrame = {
+    val len = length(col(normCol))
+    norm.where(len > 0).select(
+      col("doc_id"),
+      when(len < k, 1L).otherwise((len - (k - 1)).cast("long")).as("n_grams"),
+      graft.functions.SigExprs.winnowKeys(col(normCol), k, w).as("_keys"))
+      .select(col("doc_id"), col("n_grams"),
+        size(col("_keys")).cast("long").as("n_fp"),
+        // joinLongsCsv not array_join(transform(...)): the HOF would run
+        // interpreted and split the whole-stage-codegen span
+        Signatures.hash60Col(
+          graft.functions.SigExprs.joinLongsCsv(col("_keys"))).as("fp_hash"))
+  }
+
   /** Corpus-derived bigram "language model" quality score — the KenLM-style
     * score-against-the-corpus filter (CCNet, Wenzek et al. 2020 §4.3)
     * reduced to count arithmetic so the gate stays hash-exact: phase 1

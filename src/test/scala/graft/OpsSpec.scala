@@ -1357,4 +1357,45 @@ class OpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ------------------------------------------------- distinct-user sketch
+
+  test("approxUsers: bitmap equals brute-force linear counting; sketch bounds exact") {
+    val s = spark
+    import s.implicits._
+    val m = 128
+    def ts(h: Int, i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:${i % 60}%02d:00")
+    // hour 0: 90 users over 180 events (collisions certain at m=128);
+    // hour 1: 3 users; users repeat across hours
+    val rows = (0 until 180).map(i => (i.toLong, ts(0, i), (i % 90).toLong, "a", 1.0, "{}")) ++
+      Seq(200, 201, 202).map(i => (i.toLong, ts(1, i), (i - 150).toLong, "b", 1.0, "{}"))
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.Events.approxUsers(events, m).collect()
+      .map(r => r.getTimestamp(0).toString -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    def bruteBits(users: Seq[Long]): Long =
+      users.map(u => graft.sig.Signatures.hash60(s"u:$u") % m).distinct.size.toLong
+    assert(got("2024-01-01 00:00:00.0") ==
+      ((180L, 90L, bruteBits((0 until 90).map(_.toLong)))))
+    assert(got("2024-01-01 01:00:00.0") == ((3L, 3L, bruteBits(Seq(50L, 51L, 52L)))))
+    // the sketch can only undercount (collisions), never overcount
+    got.values.foreach { case (_, exact, bits) => assert(bits <= exact && bits > 0) }
+  }
+
+  test("topPaths: first-k path strings, counts, deterministic cut") {
+    val s = spark
+    import s.implicits._
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:${i % 60}%02d:00")
+    // user 1: a>b>c>d>e>f (only first 5 kept); users 2,3: a>b; user 4: b
+    val rows =
+      (0 until 6).map(i => (i.toLong, ts(i), 1L, ('a' + i).toChar.toString, 0.0, "{}")) ++
+      Seq((10L, ts(0), 2L, "a", 0.0, "{}"), (11L, ts(1), 2L, "b", 0.0, "{}"),
+        (12L, ts(0), 3L, "a", 0.0, "{}"), (13L, ts(1), 3L, "b", 0.0, "{}"),
+        (14L, ts(0), 4L, "b", 0.0, "{}"))
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.Events.topPaths(events, k = 5, topN = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a>b", 2L, 2L), ("a>b>c>d>e", 5L, 1L)),
+      s"expected deterministic (count desc, path) order, got $got")
+  }
 }

@@ -225,6 +225,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("ta_winnow is a shuffle-free codegen'd row map") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-winnow").toString
+    (0L until 50L).map(i => (i, s"some document text number $i with words"))
+      .toDF("doc_id", "norm").write.mode("overwrite").parquet(dir)
+    val out = graft.ops.TextAnalysis.winnow(spark.read.parquet(dir), "norm", 8, 4)
+    val plan = formatted(out)
+    assert(!plan.contains("Exchange"),
+      s"winnowing is per-row — it must not shuffle:\n$plan")
+    // one codegen span over the scan: kernel, size, and digest all compile
+    val spans = "\\[codegen id : (\\d+)\\]".r.findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(spans == Set("1"), s"winnow should be one codegen span, saw $spans:\n$plan")
+  }
+
   test("ds_sample is a shuffle-free map-side filter") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-docs").toString

@@ -170,6 +170,41 @@ class SigExprsSpec extends AnyFunSuite {
       assert(cBase.last == cEdit.last, "trailing chunks must realign after an edit")
   }
 
+  test("winnowKeys: brute-force equality + the winnowing guarantee (SIGMOD'03)") {
+    val k = 8; val w = 4
+    def brute(s: String): Seq[Long] =
+      if (s.isEmpty) Seq.empty
+      else {
+        val nG = if (s.length < k) 1 else s.length - k + 1
+        val keys = (0 until nG).map { i =>
+          val g = if (s.length < k) s else s.substring(i, i + k)
+          (Signatures.hash60(g) % 1099511627776L) * 1048576L + i
+        }
+        val lastT = math.max(nG - w, 0)
+        (0 to lastT).map(t => keys.slice(t, math.min(t + w, nG)).min)
+          .distinct.sorted
+      }
+    val got = df.select(col("norm"),
+      graft.functions.SigExprs.winnowKeys(col("norm"), k, w).as("ks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1))
+    got.foreach { case (s, ks) =>
+      assert(ks == brute(s), s"winnow mismatch for '$s'")
+      if (s.nonEmpty) assert(ks.nonEmpty, s"non-empty input must fingerprint: '$s'")
+    }
+    // the paper's guarantee: a shared substring of length >= w + k - 1
+    // selects at least one common GRAM fingerprint (hash part, key >> 20)
+    val shared = "sharedrunofcharacters"
+    val a = "prefix junk " + shared + " tail one"
+    val b = "completely different head " + shared + " other tail"
+    val s2 = spark
+    import s2.implicits._
+    val fps = Seq(a, b).toDF("norm")
+      .select(graft.functions.SigExprs.winnowKeys(col("norm"), k, w).as("ks"))
+      .collect().map(_.getSeq[Long](0).map(_ >>> 20).toSet)
+    assert((fps(0) intersect fps(1)).nonEmpty,
+      "docs sharing a >= w+k-1 substring must share a selected fingerprint")
+  }
+
   test("bandHashKeys: deterministic, band-positional, 58-bit masked (namespace-safe)") {
     val cfg = DedupConfig()
     val sigCol = Signatures.minHashFromHashesCol(
