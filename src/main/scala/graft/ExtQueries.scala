@@ -1080,6 +1080,72 @@ FROM read_parquet('$mmMetaPath/*.parquet') GROUP BY fmt"""
   def mmDhashPairs(spark: SparkSession, dir: String): DataFrame =
     hashPairs(mmFeats(spark, dir), "dhash_grad")
 
+  /** Composite count for the partial-duplicate (tile) corpus; the side
+    * table path encodes every generator parameter + a schema version.
+    */
+  val mmTileComposites = 60L
+  val mmTileMetaPath =
+    s"/tmp/graft_mm_tile_n${mmImageN}_c${mmTileComposites}_s${mmImageSeed}_v1"
+
+  /** The image corpus plus planted composites (fresh canvas, one quadrant
+    * copied verbatim from an original — ImageGen.compositeRecord).
+    */
+  private def mmTileGen(spark: SparkSession) =
+    graft.gen.ImageGen.generate(spark, mmImageN, seed = mmImageSeed, partitions = 8)
+      .unionByName(graft.gen.ImageGen.generateComposites(
+        spark, mmTileComposites, mmImageN, seed = mmImageSeed, partitions = 4))
+
+  /** Partial-duplicate image pairs over per-quadrant dHashes
+    * ([[graft.ops.PHash.tileDHashes]]): a pair matches when any of the 4
+    * tile hashes matches EXACTLY — the collage/meme/region-reuse signal a
+    * whole-image hash averages away (the generator plants composites whose
+    * NW quadrant is copied verbatim from an original into
+    * otherwise-unrelated pixels). Exact match, not near-Hamming, is the
+    * right tile geometry: region reuse is pixel-verbatim at the storage
+    * layer so the planted tile lands at distance 0, while this corpus'
+    * smooth gradients give a near-FLAT background distribution at hd ≥ 1
+    * (measured: ~340-500 spurious pairs per Hamming bin at every
+    * 1 ≤ hd ≤ 9) — any radius > 0 buys only noise, and lossy near-dups
+    * already belong to the whole-image mm_phash/mm_dhash family. Matching
+    * is one capped-bucket equality pass per tile index over the memoized
+    * 4-hash decode stage (bytes never shuffle); per pair, the matched
+    * tile count is the union of the per-tile distinct pair sets.
+    */
+  def mmTilePairs(spark: SparkSession, dir: String): DataFrame = {
+    val gen = mmTileGen(spark)
+    ensureSideTable(mmTileMetaPath) {
+      val s = spark
+      import s.implicits._
+      gen.map { r =>
+        val (w, h, px) = graft.gen.ImageGen.decode(r.bytes)
+        val t = graft.ops.PHash.tileDHashes(px, w, h)
+        (r.image_id, t(0), t(1), t(2), t(3))
+      }.toDF("image_id", "t0", "t1", "t2", "t3")
+    }
+    val feats = QueryCache.memo(spark, "mm_tile_feats", dir) {
+      Multimodal.decodeTileHashes(
+        graft.gen.ImageGen.asImages(gen).toDF()).where(col("decode_ok"))
+    }
+    (0 until 4).map { ti =>
+      Blocking.pairsFromKeys(feats.select(col("id"),
+        concat(lit(s"$ti:"), col(s"t$ti")).as("key")))
+    }.reduce(_ unionByName _)
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).cast("int").as("n_tiles"))
+  }
+
+  private val mmTilePairsSql =
+    s"""WITH m AS (SELECT * FROM read_parquet('$mmTileMetaPath/*.parquet')),
+p AS (
+  SELECT a.image_id AS id1, b.image_id AS id2,
+    (CASE WHEN a.t0 = b.t0 THEN 1 ELSE 0 END +
+     CASE WHEN a.t1 = b.t1 THEN 1 ELSE 0 END +
+     CASE WHEN a.t2 = b.t2 THEN 1 ELSE 0 END +
+     CASE WHEN a.t3 = b.t3 THEN 1 ELSE 0 END) AS n_tiles
+  FROM m a JOIN m b ON a.image_id < b.image_id)
+SELECT id1, id2, CAST(n_tiles AS INT) AS n_tiles
+FROM p WHERE n_tiles >= 1"""
+
   /** Exact image dedup on the decoded-pixel content key (the image analog
     * of dd_exact): collapses byte-identical copies AND lossless re-encodes.
     * The oracle groups the side table's independently-derived pixel_sha, so
@@ -2039,6 +2105,7 @@ JOIN fmtr f ON f.exp_cluster = cl.exp_cluster AND f.rn = 1"""
     "mm_stats" -> (mmStats _),
     "mm_phash_pairs" -> (mmPhashPairs _),
     "mm_dhash_pairs" -> (mmDhashPairs _),
+    "mm_tile_pairs" -> (mmTilePairs _),
     "mm_exact" -> (mmExact _),
     "mm_dedup_clusters" -> (mmDedupClusters _),
     "mm_keeplist" -> (mmKeeplist _),
@@ -2098,6 +2165,7 @@ JOIN fmtr f ON f.exp_cluster = cl.exp_cluster AND f.rn = 1"""
     "mm_stats" -> mmStatsSql,
     "mm_phash_pairs" -> mmPhashPairsSql,
     "mm_dhash_pairs" -> mmDhashPairsSql,
+    "mm_tile_pairs" -> mmTilePairsSql,
     "mm_exact" -> mmExactSql,
     "mm_dedup_clusters" -> mmDedupClustersSql,
     "mm_keeplist" -> mmKeeplistSql,

@@ -228,6 +228,36 @@ object ImageGen {
     spark.range(0, n, 1, partitions).mapPartitions(_.map(i => record(seed, i, n)))
   }
 
+  /** Composite (partial-duplicate) record #j for an n-row corpus: a fresh
+    * canvas (latent base 1e6+j — disjoint from every full-image latent)
+    * whose NW quadrant is copied VERBATIM from original (j mod nOrig),
+    * matching that original's canvas dims so quadrant geometry aligns;
+    * encoded lossless (png) so decode returns the planted pixels exactly.
+    * This is the region-reuse shape (collage / meme / watermarked repost)
+    * that tile-level hashing detects and whole-image hashing cannot.
+    */
+  def compositeRecord(seed: Long, j: Long, n: Long): GenRecord = {
+    val nOrig = (n * 6 / 10).max(1)
+    val b = j % nOrig
+    val bw = 32 + (mix(seed, b, 5) & 0x1F).toInt
+    val bh = 32 + (mix(seed, b, 6) & 0x1F).toInt
+    val basePx = pixels(seed, b, bw, bh)
+    val px = pixels(seed, 1000000L + j, bw, bh)
+    val hw = bw / 2; val hh = bh / 2
+    var y = 0
+    while (y < hh) { System.arraycopy(basePx, y * bw, px, y * bw, hw); y += 1 }
+    val id = f"cmp$j%010d"
+    GenRecord(id, encode(px, bw, bh, "png"), bw, bh, "png",
+      "composite " + baseCaption(seed, 1000000L + j), averageHash(px, bw, bh), id)
+  }
+
+  /** nc composite records over the same (seed, n) corpus as [[generate]]. */
+  def generateComposites(spark: SparkSession, nc: Long, n: Long, seed: Long = 42L,
+                         partitions: Int = 8): Dataset[GenRecord] = {
+    import spark.implicits._
+    spark.range(0, nc, 1, partitions).mapPartitions(_.map(j => compositeRecord(seed, j, n)))
+  }
+
   def asImages(ds: Dataset[GenRecord]): Dataset[ImageRecord] = {
     import ds.sparkSession.implicits._
     ds.map(r => ImageRecord(r.image_id, r.bytes, r.w, r.h, r.fmt, r.caption, r.phash))

@@ -230,6 +230,25 @@ object Multimodal {
     * side table) — a real end-to-end decode gate, integer-exact. Luma-style
     * float stats stay in [[formatStats]] (asserted in OpsSpec instead).
     */
+  /** Per-quadrant dHash decode stage for partial-duplicate detection
+    * ([[graft.ops.PHash.tileDHashes]]): bytes are consumed HERE and only
+    * (id, 4 tile hashes, decode_ok) rows flow on — the same
+    * never-shuffle-the-binary discipline as [[decodeFeatures]]. Malformed
+    * inputs survive as decode_ok = false rows, never task failures.
+    */
+  def decodeTileHashes(images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select(col("image_id"), col("bytes")).as[(String, Array[Byte])]
+      .map { case (id, bytes) =>
+        try {
+          val (w, h, px) = graft.gen.ImageGen.decode(bytes)
+          val t = PHash.tileDHashes(px, w, h)
+          (id, t(0), t(1), t(2), t(3), true)
+        } catch { case scala.util.control.NonFatal(_) => (id, 0L, 0L, 0L, 0L, false) }
+      }.toDF("id", "t0", "t1", "t2", "t3", "decode_ok")
+  }
+
   def decodeStats(feats: Dataset[ImageFeatures]): DataFrame =
     feats.toDF().groupBy(col("fmt")).agg(
       count(lit(1)).as("n"),

@@ -78,6 +78,30 @@ object PHash {
     out
   }
 
+  /** Per-quadrant dHashes (NW, NE, SW, SE) — region-level perceptual keys
+    * for PARTIAL-duplicate detection (collage/meme/screenshot region
+    * reuse): a copied quadrant keeps its tile hash bit-for-bit even when
+    * the rest of the canvas is entirely different content, which any
+    * whole-image hash averages away. The per-tile hash is the same
+    * [[dHash64]] gradient geometry, so tile matching composes with the
+    * existing pigeonhole bit-block blocking unchanged — one pass per tile
+    * index, Hamming verify per tile.
+    */
+  def tileDHashes(px: Array[Int], w: Int, h: Int): Array[Long] = {
+    val hw = w / 2; val hh = h / 2
+    def sub(x0: Int, y0: Int, sw: Int, sh: Int): Long = {
+      val s = new Array[Int](sw * sh)
+      var y = 0
+      while (y < sh) {
+        System.arraycopy(px, (y0 + y) * w + x0, s, y * sw, sw)
+        y += 1
+      }
+      dHash64(s, sw, sh)
+    }
+    Array(sub(0, 0, hw, hh), sub(hw, 0, w - hw, hh),
+      sub(0, hh, hw, h - hh), sub(hw, hh, w - hw, h - hh))
+  }
+
   /** Canonical content key of DECODED pixels: SHA-256 over (w, h, packed
     * 24-bit RGB rows) as lowercase hex. Two images get the same key iff
     * they decode to identical pixels — so it collapses exact copies AND

@@ -1358,6 +1358,38 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------- tile partial-dup
+
+  test("tileDHashes: verbatim quadrant copy preserves exactly its tile hash") {
+    val w = 40; val h = 36
+    val a = ImageGen.pixels(1L, 5L, w, h)
+    val b = ImageGen.pixels(1L, 99L, w, h)
+    val hw = w / 2; val hh = h / 2
+    val c = b.clone()
+    for (y <- 0 until hh) System.arraycopy(a, y * w, c, y * w, hw)
+    val ta = graft.ops.PHash.tileDHashes(a, w, h)
+    val tb = graft.ops.PHash.tileDHashes(b, w, h)
+    val tc = graft.ops.PHash.tileDHashes(c, w, h)
+    assert(tc(0) == ta(0), "copied NW quadrant must keep its tile hash")
+    assert(tc(1) == tb(1) && tc(2) == tb(2) && tc(3) == tb(3),
+      "untouched quadrants must keep the canvas' tile hashes")
+    assert(ta.length == 4 && ta.toSeq == graft.ops.PHash.tileDHashes(a, w, h).toSeq)
+  }
+
+  test("mm_tile_pairs: every planted composite pairs with its base image") {
+    val pairs = ExtQueries.mmTilePairs(spark, "/tmp/graft-tile-spec").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    val nOrig = 400 * 6 / 10
+    (0L until ExtQueries.mmTileComposites).foreach { j =>
+      val cmp = f"cmp$j%010d"
+      val base = f"img${j % nOrig}%010d"
+      assert(pairs.exists(p => p._1 == cmp && p._2 == base && p._3 >= 1),
+        s"composite $cmp must match base $base on >= 1 tile")
+    }
+    // whole-image duplicates (exact copies) match on all 4 tiles
+    assert(pairs.exists(_._3 == 4), "full duplicates must match all tiles")
+  }
+
   // ------------------------------------------------- distinct-user sketch
 
   test("approxUsers: bitmap equals brute-force linear counting; sketch bounds exact") {
