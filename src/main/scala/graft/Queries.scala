@@ -723,8 +723,11 @@ FROM fw GROUP BY 1"""
   def taWinnow(spark: SparkSession, dir: String): DataFrame =
     graft.ops.TextAnalysis.winnow(docNorm(spark, dir), "norm", winnowK, winnowW)
 
-  private val taWinnowSql =
-    s"""WITH ${OracleGen.nrmCte},
+  /** Winnowing-selection CTE chain through `sel`(doc_id, mk) — shared by
+    * the per-doc fingerprint summary and the cross-doc pair oracle.
+    */
+  private val winnowCtes =
+    s"""${OracleGen.nrmCte},
 base AS (SELECT doc_id, norm, length(norm) AS l FROM nrm WHERE length(norm) > 0),
 g AS (
   SELECT doc_id, norm, l,
@@ -742,7 +745,10 @@ wins AS (
     min(key) OVER (PARTITION BY doc_id ORDER BY i
                    ROWS BETWEEN CURRENT ROW AND ${winnowW - 1} FOLLOWING) AS mk
   FROM keys),
-sel AS (SELECT DISTINCT doc_id, mk FROM wins WHERE i <= greatest(n - $winnowW, 0)),
+sel AS (SELECT DISTINCT doc_id, mk FROM wins WHERE i <= greatest(n - $winnowW, 0))"""
+
+  private val taWinnowSql =
+    s"""WITH $winnowCtes,
 agg AS (
   SELECT doc_id, count(*) AS n_fp,
     string_agg(CAST(mk AS VARCHAR), ',' ORDER BY mk) AS ks
@@ -750,6 +756,68 @@ agg AS (
 SELECT g.doc_id, CAST(g.n AS BIGINT) AS n_grams, CAST(a.n_fp AS BIGINT) AS n_fp,
   ${Signatures.hash60Sql("a.ks")} AS fp_hash
 FROM g JOIN agg a USING (doc_id)"""
+
+  /** Minimum shared fingerprints and minimum overlap fraction for a
+    * reported pair. Both gates matter: winnowing's window-min selection is
+    * BIASED toward globally-small-hash grams, so corpus-common grams are
+    * selected in many documents at once and nearly every doc pair shares a
+    * couple of fingerprints (measured on this corpus: 102k of 125k
+    * possible pairs at n_shared ≥ 2, tailing off by overlap 0.4–0.5,
+    * versus the planted near-dups at 0.9–1.0) — the candidate index
+    * over-generates by design and the overlap fraction is the verify.
+    */
+  val winnowShareMin = 2
+  val winnowOverlapT = 0.5
+
+  /** Cross-document partial-overlap pairs over winnowing fingerprints —
+    * the MOSS/plagiarism pair detector and the distributed reshaping of
+    * "find documents sharing any ≥ w+k-1 run": the fingerprint HASH part
+    * (key >> 20, position dropped) becomes an inverted-index key, buckets
+    * are capped exactly like the shingle indexes (cap mirrored in the
+    * oracle), and pairs carry shared-fingerprint counts plus a
+    * containment-style overlap fraction against the smaller doc's
+    * fingerprint set. Requiring ≥ [[winnowShareMin]] shared fingerprints
+    * damps single-hash coincidences. Compared to dd_ngram_jaccard /
+    * dd_containment this index is ~2/(w+1) the rows (only selected grams
+    * index), which is the point of winnowing at 100 TB.
+    */
+  def ddWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fp = docNorm(spark, dir).where(length(col("norm")) > 0)
+      .select(col("doc_id"), explode(
+        graft.functions.SigExprs.winnowKeys(col("norm"), winnowK, winnowW)).as("key"))
+      .select(col("doc_id"), shiftright(col("key"), 20).as("fph"))
+      .distinct()
+    val cnt = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = Blocking.pairsFromKeysCounted(
+      fp.select(col("doc_id").as("id"), col("fph").as("key")), Some(bucketCap))
+      .where(col("n_shared") >= winnowShareMin)
+    shared
+      .join(cnt.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
+      .join(cnt.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
+      .select(col("id1"), col("id2"), col("n1"), col("n2"), col("n_shared"),
+        (col("n_shared").cast("double") / least(col("n1"), col("n2"))).as("overlap"))
+      .where(col("overlap") >= winnowOverlapT)
+  }
+
+  private val ddWinnowPairsSql =
+    s"""WITH $winnowCtes,
+fp AS (SELECT DISTINCT doc_id, mk // 1048576 AS fph FROM sel),
+cnt AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY 1),
+okk AS (SELECT fph FROM fp GROUP BY fph HAVING count(*) BETWEEN 2 AND $bucketCap),
+sharing AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+  FROM okk k
+  JOIN fp a ON a.fph = k.fph
+  JOIN fp b ON b.fph = k.fph AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT s.id1, s.id2, CAST(c1.n AS BIGINT) AS n1, CAST(c2.n AS BIGINT) AS n2,
+  CAST(s.c AS BIGINT) AS n_shared,
+  CAST(s.c AS DOUBLE) / least(c1.n, c2.n) AS overlap
+FROM sharing s
+JOIN cnt c1 ON c1.doc_id = s.id1
+JOIN cnt c2 ON c2.doc_id = s.id2
+WHERE s.c >= $winnowShareMin
+  AND CAST(s.c AS DOUBLE) / least(c1.n, c2.n) >= $winnowOverlapT"""
 
   /** Token counting + basic quality stats (training-data extension).
     * Two token counts: whitespace tokens, and a BPE-ish regex count
@@ -821,6 +889,7 @@ FROM g JOIN agg a USING (doc_id)"""
     "dd_cdc" -> (ddCdc _),
     "ta_tokens" -> (taTokens _),
     "ta_winnow" -> (taWinnow _),
+    "dd_winnow_pairs" -> (ddWinnowPairs _),
     "q1_agg" -> (q1Agg _))
 
   lazy val oracles: Map[String, String] = ExtQueries.oracles ++ Map(
@@ -841,5 +910,6 @@ FROM g JOIN agg a USING (doc_id)"""
     "dd_cdc" -> ddCdcSql,
     "ta_tokens" -> taTokensSql,
     "ta_winnow" -> taWinnowSql,
+    "dd_winnow_pairs" -> ddWinnowPairsSql,
     "q1_agg" -> q1AggSql)
 }

@@ -56,6 +56,32 @@ object Blocking {
       .distinct()
   }
 
+  /** Like [[pairsFromKeys]], but emits per-pair SHARED-KEY COUNTS
+    * (id1, id2, n_shared) instead of the distinct pair set — the
+    * partial-overlap strength signal (shared winnowing fingerprints,
+    * shared chunks). Same single-shuffle bucket shape, same cap
+    * semantics; a pair contributes one count per capped bucket it
+    * co-occurs in, rolled up by a partial-combined aggregate.
+    */
+  def pairsFromKeysCounted(keyed: DataFrame,
+                           maxBucketSize: Option[Int] = None): DataFrame = {
+    val capped = maxBucketSize match {
+      case Some(cap) => size(col("ids")).between(2, cap)
+      case None => size(col("ids")) >= 2
+    }
+    val ids = col("ids")
+    val pairs = flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), greatest(size(ids) - i - 1, lit(0))), y =>
+        struct(least(x, y).as("id1"), greatest(x, y).as("id2")))))
+    keyed.groupBy("key").agg(collect_list(col("id")).as("ids"))
+      .where(capped)
+      .select(explode(pairs).as("p"))
+      .select(col("p.id1"), col("p.id2"))
+      .where(col("id1") =!= col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Skew observability: per-pass bucket statistics — how many keys, how
     * many buckets the cap drops, and how many within-bucket pairs that
     * forfeits (the "dropped pairs counted in metrics" requirement;

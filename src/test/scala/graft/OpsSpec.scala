@@ -1390,6 +1390,29 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.exists(_._3 == 4), "full duplicates must match all tiles")
   }
 
+  // ------------------------------------------------- winnow overlap pairs
+
+  test("dd_winnow_pairs: containment-planted docs pair with high overlap, unrelated absent") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-winnowpairs").toString
+    val a = "the quick brown fox jumps over the lazy dog while seven wizards " +
+      "brew hazy potions near the river delta under amber skies tonight"
+    val b = "unrelated preamble text " + a + " and an unrelated closing remark"
+    val c = "completely different content about basalt cliffs and juniper " +
+      "groves where krill lagoons meet the tundra meadow under violet light"
+    val d = c
+    Seq((0L, a), (1L, b), (2L, c), (3L, d)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Queries.ddWinnowPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(got.contains((0L, 1L)), s"contained doc must pair with its container: $got")
+    assert(got((0L, 1L)) > 0.8, s"containment overlap should be high: ${got((0L, 1L))}")
+    assert(got.contains((2L, 3L)) && got((2L, 3L)) == 1.0, "exact copy pairs at overlap 1")
+    assert(!got.contains((0L, 2L)) && !got.contains((1L, 2L)),
+      s"unrelated docs must not pair: $got")
+  }
+
   // ------------------------------------------------- distinct-user sketch
 
   test("approxUsers: bitmap equals brute-force linear counting; sketch bounds exact") {
