@@ -868,6 +868,29 @@ e AS (SELECT hour_ts, count(*) AS n_events, count(DISTINCT user_id) AS n_users
 SELECT e.hour_ts, e.n_events, e.n_users, s.bits_set
 FROM e JOIN s USING (hour_ts)"""
 
+  /** Count-min sketch geometry (d hash rows × w counters) and cut. */
+  val cmsD = 4
+  val cmsW = 64
+  val cmsTopN = 20
+
+  def evHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Events.heavyHitters(table(spark, dir, "events"), cmsD, cmsW, cmsTopN)
+
+  private val evHeavyHittersSql = {
+    val bucket = Signatures.hash60Sql(
+      "'cms:' || CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)") + s" % $cmsW"
+    s"""WITH ids AS (SELECT unnest(generate_series(0, ${cmsD - 1})) AS i),
+b AS (SELECT e.user_id, ids.i, $bucket AS bucket FROM events e CROSS JOIN ids),
+cnt AS (SELECT i, bucket, count(*) AS c FROM b GROUP BY 1, 2),
+t AS (SELECT user_id, count(*) AS n_true FROM events GROUP BY 1
+      ORDER BY n_true DESC, user_id LIMIT $cmsTopN),
+p AS (SELECT t.user_id, t.n_true, ids.i, $bucket AS bucket
+      FROM t CROSS JOIN ids)
+SELECT p.user_id, p.n_true, CAST(min(c.c) AS BIGINT) AS n_cms
+FROM p JOIN cnt c ON c.i = p.i AND c.bucket = p.bucket
+GROUP BY 1, 2"""
+  }
+
   /** Path length and cut for the top event-type paths. */
   val topPathsK = 5
   val topPathsN = 20
@@ -2098,6 +2121,7 @@ JOIN fmtr f ON f.exp_cluster = cl.exp_cluster AND f.rn = 1"""
     "snm_multipass" -> (snmMultipass _),
     "ev_hourly" -> (evHourly _),
     "ev_approx_users" -> (evApproxUsers _),
+    "ev_heavy_hitters" -> (evHeavyHitters _),
     "ev_topk_paths" -> (evTopkPaths _),
     "ev_sessionize" -> (evSessionize _),
     "refine_clusters" -> (refineClusters _),
@@ -2160,6 +2184,7 @@ JOIN fmtr f ON f.exp_cluster = cl.exp_cluster AND f.rn = 1"""
     "snm_multipass" -> snmMultipassSql,
     "ev_hourly" -> evHourlySql,
     "ev_approx_users" -> evApproxUsersSql,
+    "ev_heavy_hitters" -> evHeavyHittersSql,
     "ev_topk_paths" -> evTopkPathsSql,
     "ev_sessionize" -> evSessionizeSql,
     "mm_stats" -> mmStatsSql,

@@ -271,6 +271,38 @@ object Events {
       .select(col("hour_ts"), col("n_events"), col("n_users"), col("bits_set"))
   }
 
+  /** Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005): d
+    * hash rows × w counters estimate any key's event count as the MIN of
+    * its d counters — a one-sided overcount (collisions only add). The
+    * sketch state is d·w integers regardless of key cardinality and
+    * merges by cell-wise sum, so at 100 TB the counter build is a
+    * map-side-combined aggregate over at most d·w cells per partition
+    * where an exact per-key count must shuffle every key. Emits the topN
+    * true-heaviest keys with exact count and sketch estimate side by side
+    * (the estimate's error IS the observable — this is the
+    * frequency-sketch complement to [[approxUsers]]'s cardinality
+    * sketch). Pure hash60 integer arithmetic; the DuckDB oracle rebuilds
+    * the identical counter matrix.
+    */
+  def heavyHitters(events: DataFrame, d: Int = 4, w: Int = 64,
+                   topN: Int = 20): DataFrame = {
+    def bucket(i: Int) = graft.sig.Signatures.hash60Col(
+      concat(lit(s"cms:$i:"), col("user_id").cast("string"))) % w
+    val rows = (0 until d).map(i => bucket(i))
+    val counters = events
+      .select(col("user_id"), posexplode(array(rows: _*)).as(Seq("i", "bucket")))
+      .groupBy(col("i"), col("bucket")).agg(count(lit(1)).as("c"))
+    val top = events.groupBy(col("user_id")).agg(count(lit(1)).as("n_true"))
+      .orderBy(col("n_true").desc, col("user_id")).limit(topN)
+    top
+      .select(col("user_id"), col("n_true"),
+        posexplode(array(rows: _*)).as(Seq("i", "bucket")))
+      .join(counters, Seq("i", "bucket"))
+      .groupBy(col("user_id"), col("n_true"))
+      .agg(min(col("c")).as("n_cms"))
+      .select(col("user_id"), col("n_true"), col("n_cms"))
+  }
+
   /** Per-event-type rollup over the extracted JSON field: classic
     * partial-aggregate shape (map-side combine on the handful of event
     * types, one tiny shuffle). All aggregates are order-independent

@@ -1437,6 +1437,29 @@ class OpsSpec extends AnyFunSuite {
     got.values.foreach { case (_, exact, bits) => assert(bits <= exact && bits > 0) }
   }
 
+  test("heavyHitters: count-min estimates equal brute force and never undercount") {
+    val s = spark
+    import s.implicits._
+    val d = 4; val w = 16
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:${i % 60}%02d:00")
+    // user u occurs (u+1) times, u in 0..11 — forced collisions at w=16
+    val rows = (0 until 12).flatMap(u => (0 to u).map(r =>
+      ((u * 100 + r).toLong, ts(r), u.toLong, "a", 0.0, "{}")))
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.Events.heavyHitters(events, d, w, topN = 12).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // brute-force counter matrix
+    val counts = (0 until 12).map(u => u.toLong -> (u + 1).toLong).toMap
+    def bucket(i: Int, u: Long) = graft.sig.Signatures.hash60(s"cms:$i:$u") % w
+    val cells = scala.collection.mutable.Map.empty[(Int, Long), Long].withDefaultValue(0L)
+    counts.foreach { case (u, c) => (0 until d).foreach(i => cells((i, bucket(i, u))) += c) }
+    counts.foreach { case (u, c) =>
+      val est = (0 until d).map(i => cells((i, bucket(i, u)))).min
+      assert(got(u) == ((c, est)), s"user $u: got ${got(u)}, want ($c, $est)")
+      assert(est >= c, "count-min never undercounts")
+    }
+  }
+
   test("topPaths: first-k path strings, counts, deterministic cut") {
     val s = spark
     import s.implicits._
