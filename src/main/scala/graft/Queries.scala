@@ -765,6 +765,14 @@ FROM g JOIN agg a USING (doc_id)"""
     * possible pairs at n_shared ≥ 2, tailing off by overlap 0.4–0.5,
     * versus the planted near-dups at 0.9–1.0) — the candidate index
     * over-generates by design and the overlap fraction is the verify.
+    *
+    * Cap sensitivity (measured at sf0.1, n=5000 docs): the passing pairs'
+    * shared fingerprints sit in buckets of size 65-256 — tightening the
+    * cap to 64 loses EVERY pair, because this generator's 30-word
+    * vocabulary makes every content gram corpus-common, so bucket sizes
+    * grow with n. The cap therefore stays at the shared [[bucketCap]];
+    * production tuning on a real (heavier-tailed) gram distribution is a
+    * document-frequency stopgram filter, not a smaller cap.
     */
   val winnowShareMin = 2
   val winnowOverlapT = 0.5

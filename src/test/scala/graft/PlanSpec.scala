@@ -239,6 +239,34 @@ class PlanSpec extends AnyFunSuite {
     assert(spans == Set("1"), s"winnow should be one codegen span, saw $spans:\n$plan")
   }
 
+  test("ev_approx_users: bitmap words partial-combine map-side; no single-partition stage") {
+    import spark.implicits._
+    val ev = (0L until 300L)
+      .map(i => (i, new java.sql.Timestamp(i * 60000), i % 40, "a"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val plan = formatted(graft.ops.Events.approxUsers(ev, 4096))
+    // the scale claim: bitmap words OR-merge BEFORE the exchange
+    assert(plan.contains("partial_bit_or"),
+      s"bit_or must partial-aggregate map-side:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"no stage may collapse to one partition:\n$plan")
+  }
+
+  test("ev_heavy_hitters: counter build partial-combines; top-N never global-sorts") {
+    import spark.implicits._
+    val ev = (0L until 300L)
+      .map(i => (i, new java.sql.Timestamp(i * 60000), i % 40, "a"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val plan = formatted(graft.ops.Events.heavyHitters(ev, 4, 64, 20))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"topN cut must plan as TakeOrderedAndProject, not a global sort:\n$plan")
+    assert(!plan.linesIterator.exists(l => l.trim.startsWith("Sort ") &&
+      !l.contains("TakeOrdered")),
+      s"no standalone global sort:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"counter cells must partial-aggregate map-side:\n$plan")
+  }
+
   test("ds_sample is a shuffle-free map-side filter") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-docs").toString
