@@ -360,6 +360,59 @@ p AS (
 SELECT id1, id2, cosine FROM p WHERE cosine >= $embThreshold"""
   }
 
+  /** DBSCAN minPts (a core point needs ≥ minPts-1 ε-neighbors). */
+  val dbscanMinPts = 3
+
+  /** Density-based embedding clustering ([[Embeddings.dbscan]]): the
+    * density semantics SemDeDup's plain ε-closure lacks — only CORE
+    * points (≥ minPts-1 cosine-ε neighbors) propagate cluster labels,
+    * borders attach to their min core neighbor's cluster, the rest is
+    * noise. Same cell-bucketed pair machinery as dd_semantic; the oracle
+    * replays degree counting, the core cut, a recursive-CTE closure over
+    * core-core edges, and the border/noise case split.
+    */
+  def embDbscan(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.dbscan(embBase(spark, dir), embThreshold, dbscanMinPts)
+
+  private val embDbscanSql = {
+    val cos = "list_dot_product(a.v, b.v) / " +
+      "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+    s"""WITH RECURSIVE ${OracleGen.ivfCtes(numCells = 16, dim = 64, seed = 42L)},
+asg AS (SELECT vec_id, v, c AS cell FROM rc WHERE crank <= 2),
+pr AS (
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE $cos >= $embThreshold),
+und AS (SELECT id1 AS a, id2 AS b FROM pr UNION ALL SELECT id2, id1 FROM pr),
+dg AS (SELECT a AS vec_id, count(*) AS degree FROM und GROUP BY 1),
+core AS (SELECT vec_id FROM dg WHERE degree >= ${dbscanMinPts - 1}),
+ce AS (
+  SELECT p.id1, p.id2 FROM pr p
+  JOIN core c1 ON c1.vec_id = p.id1
+  JOIN core c2 ON c2.vec_id = p.id2),
+ed AS (SELECT id1 AS a, id2 AS b FROM ce UNION ALL SELECT id2, id1 FROM ce),
+reach(n, r) AS (
+  SELECT vec_id, vec_id FROM core
+  UNION
+  SELECT reach.n, ed.b FROM reach JOIN ed ON ed.a = reach.r),
+cc AS (SELECT n AS vec_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+bm AS (
+  SELECT u.a AS vec_id, min(c.cluster_id) AS cluster_id
+  FROM und u JOIN cc c ON c.vec_id = u.b
+  WHERE u.a NOT IN (SELECT vec_id FROM core)
+  GROUP BY 1)
+SELECT e.vec_id,
+  CAST(coalesce(c.cluster_id, b.cluster_id, -1) AS BIGINT) AS cluster_id,
+  CASE WHEN c.cluster_id IS NOT NULL THEN 'core'
+       WHEN b.cluster_id IS NOT NULL THEN 'border'
+       ELSE 'noise' END AS role,
+  CAST(coalesce(d.degree, 0) AS BIGINT) AS degree
+FROM embeddings e
+LEFT JOIN cc c USING (vec_id)
+LEFT JOIN bm b USING (vec_id)
+LEFT JOIN dg d USING (vec_id)"""
+  }
+
   /** SemDeDup completed end-to-end (Abbas et al. 2023): ε-cosine pairs
     * within quantizer cells ([[ddSemantic]]) → connected components over
     * the pair graph (singletons keep their own id) → per-component
@@ -2088,6 +2141,7 @@ JOIN fmtr f ON f.exp_cluster = cl.exp_cluster AND f.rn = 1"""
     "ann_pq_trained" -> (annPqTrained _),
     "emb_pairs" -> (embPairs _),
     "dd_semantic" -> (ddSemantic _),
+    "emb_dbscan" -> (embDbscan _),
     "dd_semantic_keep" -> (ddSemanticKeep _),
     "ta_langid" -> (taLangid _),
     "ta_quality" -> (taQuality _),
@@ -2151,6 +2205,7 @@ JOIN fmtr f ON f.exp_cluster = cl.exp_cluster AND f.rn = 1"""
     "ann_pq_trained" -> annPqTrainedSql,
     "emb_pairs" -> embPairsSql,
     "dd_semantic" -> ddSemanticSql,
+    "emb_dbscan" -> embDbscanSql,
     "dd_semantic_keep" -> ddSemanticKeepSql,
     "ta_langid" -> taLangidSql,
     "ta_quality" -> taQualitySql,

@@ -378,6 +378,52 @@ object Embeddings {
       .distinct()
   }
 
+  /** DBSCAN (Ester et al., KDD 1996) over the cosine ε-graph: neighbors
+    * are pairs with cosine ≥ `threshold` (found with the SAME cell-bucketed
+    * [[semanticPairs]] machinery — never all-pairs), a point is CORE when
+    * its ε-neighborhood holds ≥ minPts points (itself included), clusters
+    * are connected components over core–core edges (distributed
+    * large-star/small-star, min-core-id labels), BORDER points attach to
+    * the smallest cluster id among their core neighbors (the paper leaves
+    * this tie arbitrary; min is the deterministic choice), and everything
+    * else is NOISE (cluster_id = -1) — the density semantics SemDeDup's
+    * plain ε-closure lacks: a chain of sparse links no longer glues
+    * unrelated regions, because non-core links never propagate labels.
+    *
+    * Scale shape: degree counting is one partial-combined aggregate over
+    * the edge list, core filtering and border attachment are joins on
+    * 8-byte ids, and the CC loop touches core–core edges only.
+    */
+  def dbscan(vectors: DataFrame, threshold: Double, minPts: Int): DataFrame = {
+    val edges = semanticPairs(vectors, threshold).select(col("id1"), col("id2"))
+    val und = edges.select(col("id1").as("a"), col("id2").as("b"))
+      .unionAll(edges.select(col("id2").as("a"), col("id1").as("b")))
+    val deg = und.groupBy(col("a")).agg(count(lit(1)).as("degree"))
+    val core = deg.where(col("degree") >= minPts - 1).select(col("a").as("v"))
+    val coreEdges = edges
+      .join(core.select(col("v").as("id1")), "id1")
+      .join(core.select(col("v").as("id2")), "id2")
+    val coreAssign = graft.cluster.ConnectedComponents
+      .assignAll(core.select(col("v").as("vec_id")), "vec_id", coreEdges)
+      .select(col("id").as("v"), col("cluster_id"))
+    val border = und
+      .join(coreAssign.select(col("v").as("b"), col("cluster_id")), "b")
+      .join(core.select(col("v").as("a")), Seq("a"), "left_anti")
+      .groupBy(col("a")).agg(min(col("cluster_id")).as("b_cluster"))
+    vectors.select(col("vec_id"))
+      .join(deg.select(col("a").as("vec_id"), col("degree")), Seq("vec_id"), "left")
+      .join(coreAssign.select(col("v").as("vec_id"),
+        col("cluster_id").as("c_cluster")), Seq("vec_id"), "left")
+      .join(border.select(col("a").as("vec_id"), col("b_cluster")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("c_cluster"), col("b_cluster"), lit(-1L)).as("cluster_id"),
+        when(col("c_cluster").isNotNull, "core")
+          .when(col("b_cluster").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce(col("degree"), lit(0L)).as("degree"))
+  }
+
   /** MULTI-PROBE SRP-LSH top-k (Lv et al., VLDB'07, adapted to sign
     * projections): the index stores each vector once per band under its
     * base key, and each QUERY additionally probes the buckets reached by

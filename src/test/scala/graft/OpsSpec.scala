@@ -1390,6 +1390,56 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.exists(_._3 == 4), "full duplicates must match all tiles")
   }
 
+  // ------------------------------------------------- density clustering
+
+  test("dbscan: labels equal a brute-force DBSCAN over the same epsilon-graph") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // clustered corpus: 40 latent centers for the first 280 points (dense
+    // regions -> core/border), then 20 isolated directions (noise)
+    val centers = Array.fill(40)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 300).map { i =>
+      val c = if (i < 280) centers(i % 40)
+              else Array.fill(64)(rnd.nextGaussian().toFloat)
+      (i.toLong, c.zipWithIndex.map { case (v, j) =>
+        v + 0.15f * ((graft.sig.Signatures.hash60(s"n:$i:$j") % 1000) / 1000.0f - 0.5f) })
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val t = 0.8; val minPts = 3
+    val edges = graft.ops.Embeddings.semanticPairs(df, t)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // brute-force DBSCAN over that graph
+    val nbrs = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) => nbrs(a) += b; nbrs(b) += a }
+    val core = (0L until 300L).filter(v => nbrs(v).size >= minPts - 1).toSet
+    val parent = scala.collection.mutable.Map((0L until 300L).map(i => i -> i): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      if (core(a) && core(b)) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+    }
+    val coreCluster = core.map(v => v -> core.filter(u => find(u) == find(v)).min).toMap
+    val exp = (0L until 300L).map { v =>
+      if (core(v)) (v, coreCluster(v), "core")
+      else {
+        val cn = nbrs(v).filter(core)
+        if (cn.nonEmpty) (v, cn.map(coreCluster).min, "border")
+        else (v, -1L, "noise")
+      }
+    }.map(x => x._1 -> ((x._2, x._3))).toMap
+    val got = graft.ops.Embeddings.dbscan(df, t, minPts).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got == exp, {
+      val diff = exp.keys.filter(k => got(k) != exp(k)).take(5)
+      s"first diffs: ${diff.map(k => (k, got(k), exp(k)))}"
+    })
+    assert(exp.values.exists(_._2 == "core") && exp.values.exists(_._2 == "noise"),
+      "corpus must exercise core and noise roles")
+  }
+
   // ------------------------------------------------- winnow overlap pairs
 
   test("dd_winnow_pairs: containment-planted docs pair with high overlap, unrelated absent") {
