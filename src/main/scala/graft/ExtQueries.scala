@@ -1481,6 +1481,48 @@ JOIN cnt c1 ON c1.video_id = i.video_id1
 JOIN cnt c2 ON c2.video_id = i.video_id2
 WHERE CAST(i.n_common AS DOUBLE) / (c1.n + c2.n - i.n_common) >= $mmVideoDupThreshold"""
 
+  /** Near-duplicate AUDIO detection — the audio analog of mm_video_dupes:
+    * 300 originals + 60 planted reposts (exact / leading-window trim /
+    * trailing-window trim, window-aligned so content signatures survive),
+    * each clip reduced to its distinct window-loudness signature set,
+    * capped inverted-index Jaccard at 0.5. The oracle recomputes pairs
+    * from per-window generator truth (the sample function, never the
+    * bytes), so header parse, endianness, window stride, AND the pairing
+    * machinery must all agree.
+    */
+  val mmAudioDupN = 360L   // 300 originals + 60 planted reposts
+  val mmAudioDupThreshold = 0.5
+  private val mmAudioDupMetaPath =
+    s"/tmp/graft_audio_dup_meta_n${mmAudioDupN}_o${mmAudioN}_s${mmAudioSeed}_v1"
+
+  def mmAudioDupes(spark: SparkSession, dir: String): DataFrame = {
+    ensureSideTable(mmAudioDupMetaPath) {
+      graft.gen.AudioGen.generateCorpusWinMeta(spark, mmAudioDupN, mmAudioN,
+        seed = mmAudioSeed).toDF()
+    }
+    val audios = graft.gen.AudioGen.generateCorpus(spark, mmAudioDupN, mmAudioN,
+      seed = mmAudioSeed).toDF()
+    Multimodal.audioDupes(audios, mmAudioDupThreshold, Queries.bucketCap)
+  }
+
+  private val mmAudioDupesSql =
+    s"""WITH fm AS (
+  SELECT DISTINCT audio_id, win_sum AS sig
+  FROM read_parquet('$mmAudioDupMetaPath/*.parquet')),
+cnt AS (SELECT audio_id, count(*) AS n FROM fm GROUP BY 1),
+keyok AS (SELECT sig FROM fm GROUP BY sig HAVING count(*) BETWEEN 2 AND ${Queries.bucketCap}),
+inter AS (
+  SELECT a.audio_id AS audio_id1, b.audio_id AS audio_id2, count(*) AS n_common
+  FROM fm a JOIN keyok k ON k.sig = a.sig
+  JOIN fm b ON b.sig = a.sig AND a.audio_id < b.audio_id
+  GROUP BY 1, 2)
+SELECT i.audio_id1, i.audio_id2, i.n_common, c1.n AS n1, c2.n AS n2,
+  CAST(i.n_common AS DOUBLE) / (c1.n + c2.n - i.n_common) AS jaccard
+FROM inter i
+JOIN cnt c1 ON c1.audio_id = i.audio_id1
+JOIN cnt c2 ON c2.audio_id = i.audio_id2
+WHERE CAST(i.n_common AS DOUBLE) / (c1.n + c2.n - i.n_common) >= $mmAudioDupThreshold"""
+
   /** Audio feature extraction end-to-end gate, same design as
     * mm_frame_sample: the query decodes the PCM container, the oracle
     * reads per-clip truth computed from the sample function (never the
@@ -2192,6 +2234,7 @@ JOIN fmtr f ON f.exp_cluster = cl.exp_cluster AND f.rn = 1"""
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_video_dupes" -> (mmVideoDupes _),
     "mm_audio_features" -> (mmAudioFeatures _),
+    "mm_audio_dupes" -> (mmAudioDupes _),
     "pipeline_canonical" -> (pipelineCanonical _))
 
   lazy val oracles: Map[String, String] = Map(
@@ -2254,6 +2297,7 @@ JOIN fmtr f ON f.exp_cluster = cl.exp_cluster AND f.rn = 1"""
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_video_dupes" -> mmVideoDupesSql,
     "mm_audio_features" -> mmAudioFeaturesSql,
+    "mm_audio_dupes" -> mmAudioDupesSql,
     "pipeline_canonical" -> pipelineCanonicalSql,
     "refine_clusters" -> (s"""WITH RECURSIVE ${OracleGen.nrmCte},
 ${OracleGen.wordNgramCtes(Queries.ngramN)},

@@ -876,6 +876,39 @@ WHERE s.c >= $winnowShareMin
        count(DISTINCT l_orderkey) AS n_orders
        FROM lineitem GROUP BY 1, 2"""
 
+  /** TPC-H-style fact⋈dim⋈dim rollup (the generic relational join surface;
+    * SURVEY §2.9 notes Spark covers it natively — this row anchors it in
+    * the gate). Join strategy mirrors the 100 TB posture: `nation` is an
+    * explicit broadcast (a dimension this small never earns a shuffle);
+    * orders⋈customer is left to Catalyst/AQE, which at bench scale
+    * broadcasts customer and at warehouse scale would shuffle on the key.
+    * Double sums cast to float (summation order is engine-dependent,
+    * float rounding is not — the evHourly rule); min/max/counts exact.
+    */
+  def q2Join(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .join(table(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(table(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_customers"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        sum(col("o_totalprice")).cast("float").as("sum_price"))
+
+  private val q2JoinSql =
+    """SELECT n_name, o_orderpriority,
+       count(*) AS n_orders,
+       count(DISTINCT c_custkey) AS n_customers,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price,
+       sum(o_totalprice)::FLOAT AS sum_price
+       FROM orders
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY 1, 2"""
+
   // ------------------------------------------------------------ registry
 
   // lazy: breaks the Queries <-> ExtQueries init cycle (see ExtQueries.all)
@@ -898,7 +931,8 @@ WHERE s.c >= $winnowShareMin
     "ta_tokens" -> (taTokens _),
     "ta_winnow" -> (taWinnow _),
     "dd_winnow_pairs" -> (ddWinnowPairs _),
-    "q1_agg" -> (q1Agg _))
+    "q1_agg" -> (q1Agg _),
+    "q2_join" -> (q2Join _))
 
   lazy val oracles: Map[String, String] = ExtQueries.oracles ++ Map(
     "dd_exact" -> ddExactSql,
@@ -919,5 +953,6 @@ WHERE s.c >= $winnowShareMin
     "ta_tokens" -> taTokensSql,
     "ta_winnow" -> taWinnowSql,
     "dd_winnow_pairs" -> ddWinnowPairsSql,
-    "q1_agg" -> q1AggSql)
+    "q1_agg" -> q1AggSql,
+    "q2_join" -> q2JoinSql)
 }

@@ -72,6 +72,92 @@ object AudioGen {
     spark.range(0, n, 1, partitions).mapPartitions(_.map(i => record(seed, i)))
   }
 
+  // ------------------------------------------- corpus with planted dupes
+
+  /** Window width (samples) of the audio dedup signature. Planted trims
+    * are WINDOW-ALIGNED (like [[VideoGen]]'s frame-aligned trims) so the
+    * content signatures of the surviving audio are bit-identical to the
+    * base's — the content-addressed property the dedup exploits.
+    */
+  val SigWin = 500
+
+  /** Which window range of the base clip a duplicate re-posts: exact
+    * repost / leading window trimmed / trailing window trimmed. Clips have
+    * 2000..8000 samples → 4..16 full windows, so a trim leaves ≥ 3.
+    */
+  private def dupSpan(seed: Long, i: Long, nSamples: Int): (Int, Int) = {
+    val nw = nSamples / SigWin
+    ((ImageGen.mix(seed, i, 411) >>> 8) % 3).toInt match {
+      case 0 => (0, nw)
+      case 1 => (1, nw)
+      case _ => (0, nw - 1)
+    }
+  }
+
+  /** Corpus row: indices [0, nOrig) are the originals of [[record]];
+    * indices ≥ nOrig re-container a seeded base clip's samples over a
+    * [[dupSpan]] window range under a new id.
+    */
+  def recordCorpus(seed: Long, i: Long, nOrig: Long): AudioRecord = {
+    if (i < nOrig) record(seed, i)
+    else {
+      val base = (ImageGen.mix(seed, i, 410) >>> 8) % nOrig
+      val (rate, nb) = shape(seed, base)
+      val (from, until) = dupSpan(seed, i, nb)
+      val n = (until - from) * SigWin
+      val bytes = new Array[Byte](16 + 2 * n)
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(Magic); bb.putInt(rate); bb.putInt(n); bb.putInt(0)
+      var s = from * SigWin
+      while (s < until * SigWin) { bb.putShort(sample(seed, base, s)); s += 1 }
+      AudioRecord(f"aud$i%08d", bytes, rate, n)
+    }
+  }
+
+  def generateCorpus(spark: SparkSession, n: Long, nOrig: Long, seed: Long = 13L,
+                     partitions: Int = 8): Dataset[AudioRecord] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions)
+      .mapPartitions(_.map(i => recordCorpus(seed, i, nOrig)))
+  }
+
+  final case class WinMeta(audio_id: String, idx: Int, win_sum: Long)
+
+  /** Per-window truth (sum of |sample| over each full [[SigWin]] window)
+    * computed from the sample function alone — never the encoded bytes.
+    */
+  def winMeta(seed: Long, i: Long): Seq[WinMeta] = {
+    val (_, n) = shape(seed, i)
+    (0 until n / SigWin).map { w =>
+      var sum = 0L
+      var s = w * SigWin
+      while (s < (w + 1) * SigWin) { sum += math.abs(sample(seed, i, s).toInt); s += 1 }
+      WinMeta(f"aud$i%08d", w, sum)
+    }
+  }
+
+  /** Corpus truth: duplicates carry the base's window sums over their
+    * span, re-indexed from 0 — exactly what decoding must reproduce.
+    */
+  def winMetaCorpus(seed: Long, i: Long, nOrig: Long): Seq[WinMeta] = {
+    if (i < nOrig) winMeta(seed, i)
+    else {
+      val base = (ImageGen.mix(seed, i, 410) >>> 8) % nOrig
+      val (_, nb) = shape(seed, base)
+      val (from, until) = dupSpan(seed, i, nb)
+      winMeta(seed, base).slice(from, until).zipWithIndex.map {
+        case (m, idx) => WinMeta(f"aud$i%08d", idx, m.win_sum)
+      }
+    }
+  }
+
+  def generateCorpusWinMeta(spark: SparkSession, n: Long, nOrig: Long,
+                            seed: Long = 13L,
+                            partitions: Int = 8): Dataset[WinMeta] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).flatMap(i => winMetaCorpus(seed, i, nOrig))
+  }
+
   def generateMeta(spark: SparkSession, n: Long, seed: Long = 13L,
                    partitions: Int = 8): Dataset[ClipMeta] = {
     import spark.implicits._

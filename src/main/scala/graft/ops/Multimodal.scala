@@ -136,23 +136,83 @@ object Multimodal {
   def videoDupes(videos: DataFrame, threshold: Double, cap: Int): DataFrame = {
     val sigs = frameSample(videos, 1).toDF()
       .select(col("video_id"), col("luma_sum").as("sig")).distinct()
-    val cnt = sigs.groupBy(col("video_id")).agg(count(lit(1)).as("n"))
+    sigJaccardPairs(sigs, "video_id", threshold, cap)
+  }
+
+  /** Capped inverted-index Jaccard over distinct per-item signature sets
+    * (`sigs` = (idCol, sig)) — the shared tail of [[videoDupes]] and
+    * [[audioDupes]]: bucket-capped signature join, shared-count rollup,
+    * Jaccard threshold. Emits (<id>1, <id>2, n_common, n1, n2, jaccard).
+    */
+  private def sigJaccardPairs(sigs: DataFrame, idCol: String,
+                              threshold: Double, cap: Int): DataFrame = {
+    val id1 = s"${idCol}1"; val id2 = s"${idCol}2"
+    val cnt = sigs.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val keyOk = sigs.groupBy(col("sig")).agg(count(lit(1)).as("bn"))
       .where(col("bn").between(2, cap)).select(col("sig"))
     val inter = sigs.join(keyOk, Seq("sig"))
-      .select(col("sig"), col("video_id").as("video_id1"))
-      .join(sigs.select(col("sig"), col("video_id").as("video_id2")), Seq("sig"))
-      .where(col("video_id1") < col("video_id2"))
-      .groupBy(col("video_id1"), col("video_id2"))
+      .select(col("sig"), col(idCol).as(id1))
+      .join(sigs.select(col("sig"), col(idCol).as(id2)), Seq("sig"))
+      .where(col(id1) < col(id2))
+      .groupBy(col(id1), col(id2))
       .agg(count(lit(1)).as("n_common"))
     inter
-      .join(cnt.select(col("video_id").as("video_id1"), col("n").as("n1")), Seq("video_id1"))
-      .join(cnt.select(col("video_id").as("video_id2"), col("n").as("n2")), Seq("video_id2"))
+      .join(cnt.select(col(idCol).as(id1), col("n").as("n1")), Seq(id1))
+      .join(cnt.select(col(idCol).as(id2), col("n").as("n2")), Seq(id2))
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")))
       .where(col("jaccard") >= threshold)
-      .select(col("video_id1"), col("video_id2"), col("n_common"),
+      .select(col(id1), col(id2), col("n_common"),
         col("n1"), col("n2"), col("jaccard"))
+  }
+
+  final case class AudioWindow(audio_id: String, idx: Int, win_sum: Long)
+
+  /** Per-window loudness signatures of the PCM container: sum of |sample|
+    * over each full `win`-sample window — the content-addressed audio
+    * analog of the per-frame luma signature. Bytes are consumed at the
+    * scan; only (id, idx, 8-byte sum) rows leave. Malformed clips drop.
+    */
+  def audioWindows(audios: DataFrame, win: Int): Dataset[AudioWindow] = {
+    val spark = audios.sparkSession
+    import spark.implicits._
+    audios.select(col("audio_id"), col("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          if (bytes.length < 16 || bb.getInt() != graft.gen.AudioGen.Magic) Iterator.empty
+          else {
+            bb.getInt() // rate
+            val n = bb.getInt()
+            if (n < 0 || 16L + 2L * n != bytes.length) Iterator.empty
+            else (0 until n / win).iterator.map { w =>
+              var sum = 0L
+              var s = w * win
+              while (s < (w + 1) * win) {
+                sum += math.abs(bb.getShort(16 + 2 * s).toInt)
+                s += 1
+              }
+              AudioWindow(id, w, sum)
+            }
+          }
+        }
+      }
+  }
+
+  /** Near-duplicate audio detection — the clipped-repost shape over PCM:
+    * reduce each clip to its DISTINCT window-loudness signature set
+    * ([[audioWindows]]; trims shift window INDICES but signatures are
+    * content-addressed, so a trimmed repost keeps most of its set), then
+    * the same capped inverted-index Jaccard as [[videoDupes]]. Decode
+    * once; clip bytes never shuffle — only (id, sig) rows.
+    */
+  def audioDupes(audios: DataFrame, threshold: Double, cap: Int,
+                 win: Int = graft.gen.AudioGen.SigWin): DataFrame = {
+    val sigs = audioWindows(audios, win).toDF()
+      .select(col("audio_id"), col("win_sum").as("sig")).distinct()
+    sigJaccardPairs(sigs, "audio_id", threshold, cap)
   }
 
   final case class AudioFeatures(

@@ -1390,6 +1390,23 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.exists(_._3 == 4), "full duplicates must match all tiles")
   }
 
+  // ------------------------------------------------- audio near-dup
+
+  test("mm_audio_dupes: every planted repost pairs with its base above threshold") {
+    val pairs = ExtQueries.mmAudioDupes(spark, "/tmp/graft-audio-spec").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(5)))
+    val nOrig = 300L
+    (nOrig until ExtQueries.mmAudioDupN).foreach { i =>
+      val base = (ImageGen.mix(13L, i, 410) >>> 8) % nOrig
+      val (b, d) = (f"aud$base%08d", f"aud$i%08d")
+      val (lo, hi) = if (b < d) (b, d) else (d, b)
+      assert(pairs.exists(p => p._1 == lo && p._2 == hi && p._3 >= 0.5),
+        s"repost $d must pair with base $b")
+    }
+    // exact reposts reach jaccard 1.0; trimmed ones sit in [0.5, 1)
+    assert(pairs.exists(_._3 == 1.0) && pairs.exists(p => p._3 < 1.0 && p._3 >= 0.5))
+  }
+
   // ------------------------------------------------- density clustering
 
   test("dbscan: labels equal a brute-force DBSCAN over the same epsilon-graph") {

@@ -239,6 +239,15 @@ class PlanSpec extends AnyFunSuite {
     assert(spans == Set("1"), s"winnow should be one codegen span, saw $spans:\n$plan")
   }
 
+  test("q2_join: nation rides a broadcast join, never a shuffle") {
+    val plan = formatted(graft.Queries.q2Join(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"tiny dimension must broadcast:\n$plan")
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(n_nationkey")),
+      s"nation must never shuffle:\n$plan")
+  }
+
   test("ev_approx_users: bitmap words partial-combine map-side; no single-partition stage") {
     import spark.implicits._
     val ev = (0L until 300L)
