@@ -346,8 +346,17 @@ $pqRerankTailSql"""
     * threshold as emb_pairs, so the diff between the two catalogs IS the
     * recall the clustering trades for boundedness.
     */
+  /** Memoized ε-cosine pair stage — shared by dd_semantic,
+    * dd_semantic_keep and emb_dbscan (three catalog consumers of the same
+    * cell-bucketed pair computation; without the memo each re-runs it).
+    */
+  private def semPairs(spark: SparkSession, dir: String): DataFrame =
+    QueryCache.memo(spark, "sem_pairs", dir) {
+      Embeddings.semanticPairs(embBase(spark, dir), embThreshold)
+    }
+
   def ddSemantic(spark: SparkSession, dir: String): DataFrame =
-    Embeddings.semanticPairs(embBase(spark, dir), embThreshold)
+    semPairs(spark, dir)
 
   private val ddSemanticSql = {
     val cos = "list_dot_product(a.v, b.v) / " +
@@ -372,7 +381,8 @@ SELECT id1, id2, cosine FROM p WHERE cosine >= $embThreshold"""
     * core-core edges, and the border/noise case split.
     */
   def embDbscan(spark: SparkSession, dir: String): DataFrame =
-    Embeddings.dbscan(embBase(spark, dir), embThreshold, dbscanMinPts)
+    Embeddings.dbscanFromEdges(embBase(spark, dir),
+      semPairs(spark, dir).select(col("id1"), col("id2")), dbscanMinPts)
 
   private val embDbscanSql = {
     val cos = "list_dot_product(a.v, b.v) / " +

@@ -394,8 +394,14 @@ object Embeddings {
     * the edge list, core filtering and border attachment are joins on
     * 8-byte ids, and the CC loop touches core–core edges only.
     */
-  def dbscan(vectors: DataFrame, threshold: Double, minPts: Int): DataFrame = {
-    val edges = semanticPairs(vectors, threshold).select(col("id1"), col("id2"))
+  def dbscan(vectors: DataFrame, threshold: Double, minPts: Int): DataFrame =
+    dbscanFromEdges(vectors,
+      semanticPairs(vectors, threshold).select(col("id1"), col("id2")), minPts)
+
+  /** [[dbscan]] over a prepared ε-edge frame (id1, id2) — lets catalog
+    * queries ride one memoized pair stage across the semantic family.
+    */
+  def dbscanFromEdges(vectors: DataFrame, edges: DataFrame, minPts: Int): DataFrame = {
     val und = edges.select(col("id1").as("a"), col("id2").as("b"))
       .unionAll(edges.select(col("id2").as("a"), col("id1").as("b")))
     val deg = und.groupBy(col("a")).agg(count(lit(1)).as("degree"))
