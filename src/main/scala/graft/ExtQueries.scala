@@ -1949,7 +1949,8 @@ GROUP BY 1, 2"""
   val decontamEvalMod = 50
 
   def ddDecontam(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.decontaminate(table(spark, dir, "documents"), "text",
+    // rides the shared memoized normalization stage (docNorm)
+    TextAnalysis.decontaminateNorm(Queries.docNorm(spark, dir), "norm",
       col("doc_id") % decontamEvalMod === 0, decontamN)
 
   private val ddDecontamSql =

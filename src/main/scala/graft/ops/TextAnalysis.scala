@@ -193,11 +193,23 @@ object TextAnalysis {
       docs: DataFrame,
       textCol: String,
       evalPred: Column,
+      n: Int = 5): DataFrame =
+    decontaminateNorm(
+      docs.select(col("doc_id"),
+        Signatures.normalizeCol(col(textCol)).as("_norm")),
+      "_norm", evalPred, n)
+
+  /** [[decontaminate]] over pre-normalized text — catalog callers ride the
+    * shared memoized normalization stage instead of re-running it.
+    */
+  def decontaminateNorm(
+      norm: DataFrame,
+      normCol: String,
+      evalPred: Column,
       n: Int = 5): DataFrame = {
-    val grams = docs
+    val grams = norm
       .select(col("doc_id"), evalPred.as("_eval"),
-        explode(Signatures.wordNgramsCol(Signatures.normalizeCol(col(textCol)), n))
-          .as("gram"))
+        explode(Signatures.wordNgramsCol(col(normCol), n)).as("gram"))
       .select(col("doc_id"), col("_eval"), Signatures.hash60Col(col("gram")).as("g"))
     val evalGrams = grams.where(col("_eval"))
       .select(col("g")).distinct().withColumn("_hit", lit(1))
