@@ -2069,6 +2069,39 @@ GROUP BY 1"""
   /** Shard count for the deterministic global corpus shuffle. */
   val shuffleShards = 8
 
+  /** Token-count tier width of the length curriculum. */
+  val curriculumTierW = 16
+
+  /** Length-tier training curriculum ([[graft.ops.Sampling.curriculum]]):
+    * tiers ascending, seeded shuffle within tier, deterministic
+    * global_pos. n_tokens uses ta_tokens' whitespace formula so the
+    * oracle's regexp split counts identically.
+    */
+  def dsCurriculum(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.curriculum(
+      table(spark, dir, "documents"), "text", curriculumTierW)
+
+  private val dsCurriculumSql =
+    s"""WITH t AS (
+  SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents),
+b AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+    CAST(n_tokens // $curriculumTierW AS INT) AS tier,
+    ${Signatures.hash60Sql("'cur:' || CAST(doc_id AS VARCHAR)")} AS ord
+  FROM t),
+r AS (
+  SELECT doc_id, n_tokens, tier, ord,
+    row_number() OVER (PARTITION BY tier ORDER BY ord, doc_id) - 1 AS pos
+  FROM b),
+o AS (
+  SELECT tier,
+    sum(count(*)) OVER (ORDER BY tier) - count(*) AS toff
+  FROM b GROUP BY tier)
+SELECT r.doc_id, r.n_tokens, r.tier, CAST(r.pos AS BIGINT) AS pos,
+  CAST(o.toff + r.pos AS BIGINT) AS global_pos
+FROM r JOIN o USING (tier)"""
+
   def dsShuffle(spark: SparkSession, dir: String): DataFrame =
     Sampling.globalShuffle(
       table(spark, dir, "documents").select(col("doc_id")),
@@ -2214,6 +2247,7 @@ JOIN fmtr f ON f.exp_cluster = cl.exp_cluster AND f.rn = 1"""
     "dd_paragraph" -> (ddParagraph _),
     "ta_ngram_lm" -> (taNgramLm _),
     "ds_shuffle" -> (dsShuffle _),
+    "ds_curriculum" -> (dsCurriculum _),
     "dd_url" -> (ddUrl _),
     "ds_pack" -> (dsPack _),
     "ev_windows" -> (evWindows _),
@@ -2279,6 +2313,7 @@ JOIN fmtr f ON f.exp_cluster = cl.exp_cluster AND f.rn = 1"""
     "dd_paragraph" -> ddParagraphSql,
     "ta_ngram_lm" -> taNgramLmSql,
     "ds_shuffle" -> dsShuffleSql,
+    "ds_curriculum" -> dsCurriculumSql,
     "dd_url" -> ddUrlSql,
     "ds_pack" -> dsPackSql,
     "ev_windows" -> evWindowsSql,

@@ -99,6 +99,42 @@ object Sampling {
       .drop("_ord", "cum_before")
   }
 
+  /** Length-tier training curriculum (the easy-to-hard ordering of
+    * curriculum learning, Bengio et al. ICML 2009, reshaped for corpus
+    * emission): documents bucket into token-count TIERS (n_tokens div
+    * `tierW`) and are emitted in (tier ascending, seeded shuffle within
+    * tier) order — short examples first, deterministic across reruns and
+    * partitionings. The within-tier order rides the same two-phase
+    * prefix-sum rank as [[globalShuffle]] (hash60 virtual-time key, never
+    * a global sort, same 60-bit-collision tie caveat); tier offsets are a
+    * ≤-#tiers-row driver rollup broadcast back — ds_pack's offset
+    * pattern. `global_pos` is the curriculum read order.
+    */
+  def curriculum(docs: DataFrame, textCol: String, tierW: Int = 16): DataFrame = {
+    require(tierW >= 1, s"tier width must be >= 1, got $tierW")
+    // qualified: Sampling.split (the train/val/test splitter) shadows it
+    val nTok = size(org.apache.spark.sql.functions.split(
+      trim(col(textCol)), "\\s+")).cast("long")
+    val slim = docs.select(col("doc_id"), nTok.as("n_tokens"))
+      .withColumn("tier", (col("n_tokens") / tierW).cast("int"))
+      .withColumn("_ord",
+        Signatures.hash60Col(concat(lit("cur:"), col("doc_id").cast("string"))))
+    val ranked = Packing.prefixSum(slim, "_ord", lit(1L), Seq("tier"), 64)
+      .withColumn("pos", col("cum_before")).drop("cum_before", "_ord")
+    val sizes = ranked.groupBy(col("tier")).agg(count(lit(1)).as("_n"))
+      .collect().sortBy(_.getInt(0))
+    var acc = 0L
+    val offRows = sizes.toSeq.map { r =>
+      val o = (r.getInt(0), acc); acc += r.getLong(1); o
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offRows.toDF("tier", "_toff"))
+    ranked.join(offDf, Seq("tier"))
+      .select(col("doc_id"), col("n_tokens"), col("tier"), col("pos"),
+        (col("_toff") + col("pos")).as("global_pos"))
+  }
+
   /** Deterministic stratified sample: keep a row iff its hash bucket falls
     * under the keep-rate of its stratum (per-mille-style integer rates out
     * of `nBuckets`). Unknown strata fall back to `defaultRate`.

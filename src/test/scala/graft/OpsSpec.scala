@@ -1390,6 +1390,25 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.exists(_._3 == 4), "full duplicates must match all tiles")
   }
 
+  // ------------------------------------------------- curriculum ordering
+
+  test("curriculum: global_pos is a tier-ordered permutation, partitioning-invariant") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 200L).map(i => (i, ("w " * (i % 50 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Sampling.curriculum(docs, "text", 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(4)))
+    assert(got.map(_._4).sorted.toSeq == (0L until 200L), "positions form a permutation")
+    val tiersByPos = got.sortBy(_._4).map(_._3)
+    assert(tiersByPos.zip(tiersByPos.tail).forall { case (a, b) => a <= b },
+      "tiers must ascend along the curriculum")
+    val again = graft.ops.Sampling.curriculum(docs.repartition(7), "text", 16)
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toMap
+    assert(got.map(t => (t._1, t._4)).toMap == again,
+      "order must not depend on input partitioning")
+  }
+
   // ------------------------------------------------- audio near-dup
 
   test("mm_audio_dupes: every planted repost pairs with its base above threshold") {
