@@ -731,7 +731,7 @@ FROM fw GROUP BY 1"""
 base AS (SELECT doc_id, norm, length(norm) AS l FROM nrm WHERE length(norm) > 0),
 g AS (
   SELECT doc_id, norm, l,
-    CASE WHEN l < $winnowK THEN 1 ELSE l - ${winnowK - 1} END AS n
+    least(CASE WHEN l < $winnowK THEN 1 ELSE l - ${winnowK - 1} END, 1048576) AS n
   FROM base),
 pos AS (SELECT doc_id, norm, l, n, unnest(generate_series(0, n - 1)) AS i FROM g),
 keys AS (
@@ -757,47 +757,70 @@ SELECT g.doc_id, CAST(g.n AS BIGINT) AS n_grams, CAST(a.n_fp AS BIGINT) AS n_fp,
   ${Signatures.hash60Sql("a.ks")} AS fp_hash
 FROM g JOIN agg a USING (doc_id)"""
 
-  /** Minimum shared fingerprints and minimum overlap fraction for a
-    * reported pair. Both gates matter: winnowing's window-min selection is
+  /** Document-frequency stopgram threshold: fingerprint hashes selected in
+    * more than this many documents are dropped from the pair index AND
+    * from the per-document counts the overlap denominator uses — the MOSS
+    * stopgram practice, distributed. Winnowing's window-min selection is
     * BIASED toward globally-small-hash grams, so corpus-common grams are
-    * selected in many documents at once and nearly every doc pair shares a
-    * couple of fingerprints (measured on this corpus: 102k of 125k
-    * possible pairs at n_shared ≥ 2, tailing off by overlap 0.4–0.5,
-    * versus the planted near-dups at 0.9–1.0) — the candidate index
-    * over-generates by design and the overlap fraction is the verify.
-    *
-    * Cap sensitivity (measured at sf0.1, n=5000 docs): the passing pairs'
-    * shared fingerprints sit in buckets of size 65-256 — tightening the
-    * cap to 64 loses EVERY pair, because this generator's 30-word
-    * vocabulary makes every content gram corpus-common, so bucket sizes
-    * grow with n. The cap therefore stays at the shared [[bucketCap]];
-    * production tuning on a real (heavier-tailed) gram distribution is a
-    * document-frequency stopgram filter, not a smaller cap.
+    * selected in many documents at once; without the filter nearly every
+    * doc pair shares a couple of fingerprints while genuinely-duplicated
+    * documents drown (measured at sf0.1, n=5000: the cap-only form paid
+    * 11.1M within-bucket pair rows to emit 2 pairs, recall 0.008 against
+    * the 256 doc pairs at char-8-gram jaccard ≥ 0.8 — the common grams
+    * both blow the bucket cap, hiding true shared fingerprints, and
+    * inflate the denominator). With df ≤ 128 the same corpus pays 2.4M
+    * pair rows for recall 0.953 / precision 0.942 versus that truth set
+    * (df ≤ 64: 1.1M rows, recall 0.930 — the extra band buys the last
+    * planted pairs). Because every surviving bucket is ≤ [[winnowDfMax]]
+    * rows BY CONSTRUCTION, per-bucket pairing cost is bounded by a
+    * constant and total candidate rows grow linearly in corpus size — the
+    * property that makes this index survive 100 TB where the cap-only
+    * form's buckets grow with n on any corpus-common vocabulary.
     */
-  val winnowShareMin = 2
-  val winnowOverlapT = 0.5
+  val winnowDfMax = 128
+
+  /** Minimum shared rare fingerprints and minimum overlap fraction
+    * (shared / smaller doc's rare-fingerprint count) for a reported pair.
+    * Rare-fingerprint sets are small, so 2-3 coincident hashes pass the
+    * fraction gate by chance; ≥ 4 shared is the measured precision knee
+    * on this corpus (pairs at 2-3 shared: jaccard ~0.05 noise; at ≥ 4:
+    * 0.98+ true near-dups).
+    */
+  val winnowShareMin = 4
+  val winnowOverlapT = 0.6
 
   /** Cross-document partial-overlap pairs over winnowing fingerprints —
     * the MOSS/plagiarism pair detector and the distributed reshaping of
     * "find documents sharing any ≥ w+k-1 run": the fingerprint HASH part
-    * (key >> 20, position dropped) becomes an inverted-index key, buckets
-    * are capped exactly like the shingle indexes (cap mirrored in the
-    * oracle), and pairs carry shared-fingerprint counts plus a
-    * containment-style overlap fraction against the smaller doc's
-    * fingerprint set. Requiring ≥ [[winnowShareMin]] shared fingerprints
-    * damps single-hash coincidences. Compared to dd_ngram_jaccard /
-    * dd_containment this index is ~2/(w+1) the rows (only selected grams
-    * index), which is the point of winnowing at 100 TB.
+    * (key >> 20, position dropped) becomes an inverted-index key after
+    * the [[winnowDfMax]] stopgram filter, and pairs carry
+    * shared-fingerprint counts plus a containment-style overlap fraction
+    * against the smaller doc's surviving-fingerprint set. Requiring
+    * ≥ [[winnowShareMin]] shared fingerprints damps coincidences.
+    * Compared to dd_ngram_jaccard / dd_containment this index is
+    * ~2/(w+1) the rows (only selected grams index), which is the point
+    * of winnowing at 100 TB; the df filter bounds every bucket, so the
+    * within-bucket pairing never goes quadratic in corpus size.
     */
   def ddWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
-    val fp = docNorm(spark, dir).where(length(col("norm")) > 0)
-      .select(col("doc_id"), explode(
-        graft.functions.SigExprs.winnowKeys(col("norm"), winnowK, winnowW)).as("key"))
-      .select(col("doc_id"), shiftright(col("key"), 20).as("fph"))
-      .distinct()
-    val cnt = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val shared = Blocking.pairsFromKeysCounted(
-      fp.select(col("doc_id").as("id"), col("fph").as("key")), Some(bucketCap))
+    // ONE shuffle builds the df-filtered inverted index: group the
+    // (doc_id, fph) stream by fingerprint hash, keep buckets with
+    // <= winnowDfMax member docs (the stopgram filter — df IS the bucket
+    // size), and derive BOTH the per-doc surviving counts and the pair
+    // rows from the same memoized bucket frame. The kernel dedups
+    // fingerprint hashes in-document, so the exploded frame is distinct by
+    // construction: no shuffle-distinct over the positional key stream.
+    val buckets = QueryCache.memo(spark, "winnow_buckets", dir) {
+      docNorm(spark, dir).where(length(col("norm")) > 0)
+        .select(col("doc_id").as("id"), explode(
+          graft.functions.SigExprs.winnowFphs(col("norm"), winnowK, winnowW)).as("key"))
+        .groupBy(col("key")).agg(collect_list(col("id")).as("ids"))
+        .where(size(col("ids")) <= winnowDfMax)
+    }
+    val cnt = buckets.select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = Blocking.pairRowsFromBuckets(buckets, Some(winnowDfMax))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= winnowShareMin)
     shared
       .join(cnt.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
@@ -809,9 +832,11 @@ FROM g JOIN agg a USING (doc_id)"""
 
   private val ddWinnowPairsSql =
     s"""WITH $winnowCtes,
-fp AS (SELECT DISTINCT doc_id, mk // 1048576 AS fph FROM sel),
+fpall AS (SELECT DISTINCT doc_id, mk // 1048576 AS fph FROM sel),
+rare AS (SELECT fph FROM fpall GROUP BY fph HAVING count(*) <= $winnowDfMax),
+fp AS (SELECT fpall.* FROM fpall JOIN rare USING (fph)),
 cnt AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY 1),
-okk AS (SELECT fph FROM fp GROUP BY fph HAVING count(*) BETWEEN 2 AND $bucketCap),
+okk AS (SELECT fph FROM fp GROUP BY fph HAVING count(*) >= 2),
 sharing AS (
   SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
   FROM okk k

@@ -31,30 +31,8 @@ object Blocking {
     * @param maxBucketSize drop keys whose bucket exceeds this (skew guard);
     *                      None = unbounded (used by oracle-mirrored queries)
     */
-  def pairsFromKeys(keyed: DataFrame, maxBucketSize: Option[Int] = None): DataFrame = {
-    // ONE shuffle: group ids per key, pair within the bucket. (A self-join
-    // on key computes the same pair set but costs a count shuffle for the
-    // cap plus a join shuffle; measured ~2x slower.) Buckets above the cap
-    // are dropped whole — their pairing cost is quadratic and their
-    // selectivity is near zero (skew guard; SURVEY.md §7.5 risk 2).
-    val capped = maxBucketSize match {
-      case Some(cap) => size(col("ids")).between(2, cap)
-      case None => size(col("ids")) >= 2
-    }
-    // type-preserving pair expansion: i<j index pairs, canonicalized with
-    // least/greatest in the id's own type (numeric ids compare numerically —
-    // matching the oracle's `a.doc_id < b.doc_id`)
-    val ids = col("ids")
-    val pairs = flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + lit(2), greatest(size(ids) - i - 1, lit(0))), y =>
-        struct(least(x, y).as("id1"), greatest(x, y).as("id2")))))
-    keyed.groupBy("key").agg(collect_list(col("id")).as("ids"))
-      .where(capped)
-      .select(explode(pairs).as("p"))
-      .select(col("p.id1"), col("p.id2"))
-      .where(col("id1") =!= col("id2"))
-      .distinct()
-  }
+  def pairsFromKeys(keyed: DataFrame, maxBucketSize: Option[Int] = None): DataFrame =
+    bucketPairRows(keyed, maxBucketSize).distinct()
 
   /** Like [[pairsFromKeys]], but emits per-pair SHARED-KEY COUNTS
     * (id1, id2, n_shared) instead of the distinct pair set — the
@@ -64,22 +42,59 @@ object Blocking {
     * co-occurs in, rolled up by a partial-combined aggregate.
     */
   def pairsFromKeysCounted(keyed: DataFrame,
-                           maxBucketSize: Option[Int] = None): DataFrame = {
+                           maxBucketSize: Option[Int] = None): DataFrame =
+    bucketPairRows(keyed, maxBucketSize)
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+
+  /** Shared bucket/pair-expansion core of [[pairsFromKeys]] (distinct) and
+    * [[pairsFromKeysCounted]] (count roll-up): one (id1, id2) row per
+    * co-occurrence of a pair inside a capped key bucket.
+    *
+    * ONE shuffle: group ids per key, pair within the bucket. (A self-join
+    * on key computes the same pair set but costs a count shuffle for the
+    * cap plus a join shuffle; measured ~2x slower.) Buckets above the cap
+    * are dropped whole — their pairing cost is quadratic and their
+    * selectivity is near zero (skew guard; SURVEY.md §7.5 risk 2).
+    */
+  private def bucketPairRows(keyed: DataFrame,
+                             maxBucketSize: Option[Int]): DataFrame =
+    pairRowsFromBuckets(
+      keyed.groupBy("key").agg(collect_list(col("id")).as("ids")), maxBucketSize)
+
+  /** Pair expansion over a PRE-GROUPED bucket frame (key, ids) — for
+    * callers that already hold the buckets (e.g. because per-id counts are
+    * derived from the same grouped frame; one shuffle feeds both).
+    */
+  def pairRowsFromBuckets(buckets: DataFrame,
+                          maxBucketSize: Option[Int]): DataFrame = {
     val capped = maxBucketSize match {
       case Some(cap) => size(col("ids")).between(2, cap)
       case None => size(col("ids")) >= 2
     }
     val ids = col("ids")
-    val pairs = flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + lit(2), greatest(size(ids) - i - 1, lit(0))), y =>
-        struct(least(x, y).as("id1"), greatest(x, y).as("id2")))))
-    keyed.groupBy("key").agg(collect_list(col("id")).as("ids"))
+    val isLongId = buckets.schema("ids").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    // pair expansion: i<j index pairs, canonicalized (min, max) — matching
+    // the oracle's `a.doc_id < b.doc_id`. Long ids (every corpus-scale
+    // caller) go through the codegen'd native kernel; the HOF chain below
+    // computes the same pairs for other id types but evaluates INTERPRETED
+    // (Catalyst never codegens higher-order functions), which at millions
+    // of within-bucket pairs dominates the blocking stage.
+    val pairs =
+      if (isLongId) graft.functions.SigExprs.pairLongIds(ids)
+      else flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + lit(2), greatest(size(ids) - i - 1, lit(0))), y =>
+          struct(least(x, y).as("id1"), greatest(x, y).as("id2")))))
+    val expanded = buckets
       .where(capped)
       .select(explode(pairs).as("p"))
       .select(col("p.id1"), col("p.id2"))
-      .where(col("id1") =!= col("id2"))
-      .groupBy(col("id1"), col("id2"))
-      .agg(count(lit(1)).as("n_shared"))
+    // the native kernel already drops id1 == id2 pairs
+    if (isLongId) expanded else expanded.where(col("id1") =!= col("id2"))
   }
 
   /** Skew observability: per-pass bucket statistics — how many keys, how

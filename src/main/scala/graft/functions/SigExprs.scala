@@ -315,7 +315,13 @@ object SigKernels {
     if (n == 0) return new GenericArrayData(Array.empty[Any])
     val base = s.getBaseObject
     val off = s.getBaseOffset
-    val nG = if (n < k) 1 else n - k + 1
+    // key layout packs the gram position into the low 20 bits; grams past
+    // position 2^20-1 (~1M chars of normalized text) would overflow into
+    // the hash field, so fingerprinting covers the FIRST 2^20 grams only
+    // (documented bound, mirrored by the oracle's capped gram count) —
+    // partial-overlap detection against the head of a pathologically long
+    // document rather than silently position-contaminated hashes
+    val nG = if (n < k) 1 else math.min(n - k + 1, 1 << 20)
     val keys = new Array[Long](nG)
     var i = 0
     while (i < nG) {
@@ -335,6 +341,53 @@ object SigKernels {
       t += 1
     }
     new GenericArrayData(sel.toArray(new Array[AnyRef](sel.size())))
+  }
+
+  /** DISTINCT winnowing fingerprint HASHES of a document (the position
+    * field of [[winnowKeys]] dropped in-kernel): the inverted-index key
+    * set for cross-document pairing. Deduplicating inside the kernel
+    * means the exploded (doc_id, fph) frame is distinct BY CONSTRUCTION —
+    * no shuffle-distinct over the ~10x larger positional key stream, and
+    * ~2/(w+1) of the gram count rows leave the row map at all.
+    */
+  def winnowFphs(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val keys = winnowKeys(s, k, w)
+    val n = keys.numElements()
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { set.add(keys.getLong(i) >>> 20); i += 1 }
+    new GenericArrayData(set.toArray(new Array[AnyRef](set.size())))
+  }
+
+  /** Canonical (min, max) id pairs from one blocking bucket's long-id
+    * list: all index pairs i < j with distinct values — the native form of
+    * the interpreted `flatten(transform(...slice...))` HOF chain in
+    * Blocking's pair expansion (HOFs evaluate interpreted and box every
+    * struct; at millions of within-bucket pairs the eval cost dominates
+    * the blocking stage). One flat long array [id1,id2,id1,id2,...] per
+    * bucket, decoded by the expression into array<struct<id1,id2>>.
+    */
+  def pairLongIds(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val ids = a.toLongArray()
+    val out = new java.util.ArrayList[AnyRef](n * (n - 1) / 2)
+    var i = 0
+    while (i < n - 1) {
+      var j = i + 1
+      while (j < n) {
+        val x = ids(i); val y = ids(j)
+        if (x != y) {
+          val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+          r.update(0, java.lang.Long.valueOf(math.min(x, y)))
+          r.update(1, java.lang.Long.valueOf(math.max(x, y)))
+          out.add(r)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
   }
 
   /** Comma-joined decimal rendering of an array<bigint> — the digest
@@ -689,6 +742,55 @@ case class WinnowKeys(child: Expression, k: Int, w: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Distinct winnowing fingerprint hashes per document — codegen'd; see
+  * [[SigKernels.winnowFphs]].
+  */
+case class WinnowFphs(child: Expression, k: Int, w: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fphs requires string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    SigKernels.winnowFphs(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SigKernels.winnowFphs($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Canonical within-bucket id pairs for array<bigint> buckets — codegen'd
+  * pair expansion; see [[SigKernels.pairLongIds]].
+  */
+case class PairLongIds(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pair_long_ids requires array<bigint>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("id1", LongType, nullable = false),
+      StructField("id2", LongType, nullable = false))), containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    SigKernels.pairLongIds(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SigKernels.pairLongIds($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Comma-joined decimal string of an array<bigint> — codegen'd digest
   * preimage; see [[SigKernels.joinLongsCsv]].
   */
@@ -737,6 +839,10 @@ object SigExprs {
     column(CdcChunks(expression(c), k, mod))
   def winnowKeys(c: Column, k: Int, w: Int): Column =
     column(WinnowKeys(expression(c), k, w))
+  def winnowFphs(c: Column, k: Int, w: Int): Column =
+    column(WinnowFphs(expression(c), k, w))
   def joinLongsCsv(c: Column): Column =
     column(JoinLongsCsv(expression(c)))
+  def pairLongIds(c: Column): Column =
+    column(PairLongIds(expression(c)))
 }

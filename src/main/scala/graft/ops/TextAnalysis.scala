@@ -395,7 +395,10 @@ object TextAnalysis {
     val len = length(col(normCol))
     norm.where(len > 0).select(
       col("doc_id"),
-      when(len < k, 1L).otherwise((len - (k - 1)).cast("long")).as("n_grams"),
+      // capped at 2^20 like the kernel's fingerprinted-gram bound (the key
+      // layout's 20-bit position field; see SigKernels.winnowKeys)
+      when(len < k, 1L).otherwise(least((len - (k - 1)).cast("long"), lit(1048576L)))
+        .as("n_grams"),
       graft.functions.SigExprs.winnowKeys(col(normCol), k, w).as("_keys"))
       .select(col("doc_id"), col("n_grams"),
         size(col("_keys")).cast("long").as("n_fp"),

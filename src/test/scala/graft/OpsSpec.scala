@@ -1499,6 +1499,52 @@ class OpsSpec extends AnyFunSuite {
       s"unrelated docs must not pair: $got")
   }
 
+  test("dd_winnow_pairs: df-stopgram filter keeps planted near-dup recall on a corpus-common vocabulary") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-winnowdf").toString
+    // adversarial shape for the df filter (the sf-table generator's shape):
+    // every doc is built from the SAME small vocabulary, so most grams are
+    // corpus-common and the cap-only index drowns; planted near-dup copies
+    // must still be recovered from their surviving rare fingerprints
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "fox",
+      "golf", "hotel", "india", "julia", "kilo", "lima", "mike", "nov",
+      "oscar", "papa", "quebec", "romeo", "sierra", "tango")
+    def doc(): String = Seq.fill(60)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val bases = (0 until 120).map(i => i.toLong -> doc())
+    // 20 planted near-dups: copy of a base with a small local edit
+    val planted = (0 until 20).map { i =>
+      val (bid, btext) = bases(i)
+      val words = btext.split(" ").toVector
+      val j = 10 + rnd.nextInt(40)
+      (1000L + i, (words.take(j) :+ vocab(rnd.nextInt(vocab.size)))
+        .++(words.drop(j)).mkString(" "), bid)
+    }
+    (bases.map { case (id, t) => (id, t) } ++ planted.map(p => (p._1, p._2)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Queries.ddWinnowPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = planted.map(p => (math.min(p._3, p._1), math.max(p._3, p._1))).toSet
+    val recall = truth.count(got.contains).toDouble / truth.size
+    assert(recall >= 0.99, s"planted near-dup recall $recall < 0.99 (missed ${truth -- got})")
+    // the filter's scale property: every surviving fingerprint bucket is
+    // bounded by winnowDfMax BY CONSTRUCTION (constant per-bucket pairing
+    // cost, linear candidate growth)
+    val fp = Queries.docNorm(spark, dir)
+      .where(org.apache.spark.sql.functions.length(col("norm")) > 0)
+      .select(col("doc_id"), org.apache.spark.sql.functions.explode(
+        graft.functions.SigExprs.winnowKeys(col("norm"), Queries.winnowK, Queries.winnowW))
+        .as("key"))
+      .select(col("doc_id"), org.apache.spark.sql.functions.shiftright(col("key"), 20).as("fph"))
+      .distinct()
+    val maxRareBucket = fp.groupBy("fph").count()
+      .where(col("count") <= Queries.winnowDfMax)
+      .agg(org.apache.spark.sql.functions.max(col("count"))).head.getLong(0)
+    assert(maxRareBucket <= Queries.winnowDfMax)
+  }
+
   // ------------------------------------------------- distinct-user sketch
 
   test("approxUsers: bitmap equals brute-force linear counting; sketch bounds exact") {

@@ -205,6 +205,43 @@ class SigExprsSpec extends AnyFunSuite {
       "docs sharing a >= w+k-1 substring must share a selected fingerprint")
   }
 
+  test("winnowFphs: equals the distinct hash parts of winnowKeys") {
+    val k = 8; val w = 4
+    val got = df.select(col("norm"),
+      graft.functions.SigExprs.winnowKeys(col("norm"), k, w).as("ks"),
+      graft.functions.SigExprs.winnowFphs(col("norm"), k, w).as("fs"))
+      .collect()
+    got.foreach { r =>
+      val viaKeys = r.getSeq[Long](1).map(_ >>> 20).distinct.sorted
+      assert(r.getSeq[Long](2) == viaKeys, s"fph mismatch for '${r.getString(0)}'")
+    }
+  }
+
+  test("pairLongIds: equals the HOF pair expansion on random buckets (incl. dup ids)") {
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(11)
+    val bucketRows: Seq[Seq[Long]] = Seq(
+      Seq.empty[Long], Seq(7L), Seq(3L, 9L), Seq(9L, 3L), Seq(5L, 5L),
+      Seq(4L, 4L, 2L)) ++
+      (0 until 30).map(_ => Seq.fill(2 + rnd.nextInt(12))(rnd.nextInt(8).toLong))
+    val in = bucketRows.toDF("ids")
+    val native = in
+      .select(explode(graft.functions.SigExprs.pairLongIds(col("ids"))).as("p"))
+      .select(col("p.id1"), col("p.id2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val ids = col("ids")
+    val hof = flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), greatest(size(ids) - i - 1, lit(0))), y =>
+        struct(least(x, y).as("id1"), greatest(x, y).as("id2")))))
+    val viaHof = in.select(explode(hof).as("p"))
+      .select(col("p.id1"), col("p.id2"))
+      .where(col("id1") =!= col("id2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(native == viaHof,
+      s"native pair kernel diverges from HOF expansion: $native vs $viaHof")
+  }
+
   test("bandHashKeys: deterministic, band-positional, 58-bit masked (namespace-safe)") {
     val cfg = DedupConfig()
     val sigCol = Signatures.minHashFromHashesCol(
