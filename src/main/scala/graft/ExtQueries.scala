@@ -1212,12 +1212,14 @@ FROM read_parquet('$mmMetaPath/*.parquet') GROUP BY fmt"""
       Multimodal.decodeTileHashes(
         graft.gen.ImageGen.asImages(gen).toDF()).where(col("decode_ok"))
     }
-    (0 until 4).map { ti =>
-      Blocking.pairsFromKeys(feats.select(col("id"),
-        concat(lit(s"$ti:"), col(s"t$ti")).as("key")))
-    }.reduce(_ unionByName _)
-      .groupBy(col("id1"), col("id2"))
-      .agg(count(lit(1)).cast("int").as("n_tiles"))
+    // one tile-prefixed key frame, ONE bucket/pair pass: each image holds
+    // exactly one key per tile namespace ("ti:hash"), so a pair's shared-key
+    // count across the union IS its matched-tile count — four pairsFromKeys
+    // passes (4 shuffles + 4 distincts) collapse into one counted pass
+    val keyed = feats.select(col("id"), explode(array((0 until 4).map(ti =>
+      concat(lit(s"$ti:"), col(s"t$ti"))): _*)).as("key"))
+    Blocking.pairsFromKeysCounted(keyed)
+      .select(col("id1"), col("id2"), col("n_shared").cast("int").as("n_tiles"))
   }
 
   private val mmTilePairsSql =

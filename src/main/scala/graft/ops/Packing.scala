@@ -33,8 +33,17 @@ object Packing {
     * rows, phase 3 shuffles only the projected columns. Bucket skew follows
     * id skew; for dense ids (the common case) buckets are near-uniform.
     */
+  /** @param tieCol optional ordering tiebreak for callers whose `idCol`
+    *               is a HASH rather than a unique id (globalShuffle /
+    *               curriculum rank on hash60 virtual time): the phase-3
+    *               window orders by (id, tie) so a 60-bit hash collision
+    *               — plausible at billions of rows — stays deterministic
+    *               and mirrors the oracle's `ORDER BY ord, doc_id`.
+    *               Bucketing is unaffected (colliding ids share a bucket).
+    */
   def prefixSum(df: DataFrame, idCol: String, valueCol: Column,
-                partCols: Seq[String] = Nil, buckets: Int = 64): DataFrame = {
+                partCols: Seq[String] = Nil, buckets: Int = 64,
+                tieCol: Option[Column] = None): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val base = df.withColumn("_v", valueCol.cast("long"))
     val idL = col(idCol).cast("long")
@@ -68,7 +77,8 @@ object Packing {
       spark.createDataFrame(spark.sparkContext.parallelize(totals, 1), offSchema))
 
     // phase 3: within-bucket running sum, strictly-prior rows only
-    val win = Window.partitionBy(keyCols: _*).orderBy(idL)
+    val win = Window.partitionBy(keyCols: _*)
+      .orderBy(idL +: tieCol.toSeq: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     bucketed.join(offDf, partCols :+ "_bucket")
       .withColumn("cum_before",

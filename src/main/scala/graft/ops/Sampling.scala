@@ -85,8 +85,9 @@ object Sampling {
     * O(shards × buckets) rows, offsets broadcast back), so parallelism is
     * shards × buckets regardless of shard count. Rank ties would need two
     * rows of one shard to collide on the salted 60-bit hash
-    * (P ≈ n²/2^61 per shard — negligible below ~10^8 rows/shard; raise
-    * nShards long before that).
+    * (P ≈ n²/2^61 per shard; the rank window tiebreaks on the key itself,
+    * mirroring the oracle's `ORDER BY ord, doc_id`, so even a collision
+    * orders deterministically).
     */
   def globalShuffle(df: DataFrame, key: Column, nShards: Int = 8,
                     salt: String = "shuf", buckets: Int = 64): DataFrame = {
@@ -94,7 +95,7 @@ object Sampling {
     val slim = df
       .withColumn("_ord", Signatures.hash60Col(concat(lit(s"$salt:"), key.cast("string"))))
       .withColumn("shard", pmod(col("_ord"), lit(nShards.toLong)).cast("int"))
-    Packing.prefixSum(slim, "_ord", lit(1L), Seq("shard"), buckets)
+    Packing.prefixSum(slim, "_ord", lit(1L), Seq("shard"), buckets, tieCol = Some(key))
       .withColumn("pos", col("cum_before"))
       .drop("_ord", "cum_before")
   }
@@ -105,10 +106,11 @@ object Sampling {
     * `tierW`) and are emitted in (tier ascending, seeded shuffle within
     * tier) order — short examples first, deterministic across reruns and
     * partitionings. The within-tier order rides the same two-phase
-    * prefix-sum rank as [[globalShuffle]] (hash60 virtual-time key, never
-    * a global sort, same 60-bit-collision tie caveat); tier offsets are a
-    * ≤-#tiers-row driver rollup broadcast back — ds_pack's offset
-    * pattern. `global_pos` is the curriculum read order.
+    * prefix-sum rank as [[globalShuffle]] (hash60 virtual-time key with a
+    * doc_id tiebreak mirroring the oracle's `ORDER BY ord, doc_id`, never
+    * a global sort); tier offsets are a ≤-#tiers-row driver rollup
+    * broadcast back — ds_pack's offset pattern. `global_pos` is the
+    * curriculum read order.
     */
   def curriculum(docs: DataFrame, textCol: String, tierW: Int = 16): DataFrame = {
     require(tierW >= 1, s"tier width must be >= 1, got $tierW")
@@ -119,7 +121,8 @@ object Sampling {
       .withColumn("tier", (col("n_tokens") / tierW).cast("int"))
       .withColumn("_ord",
         Signatures.hash60Col(concat(lit("cur:"), col("doc_id").cast("string"))))
-    val ranked = Packing.prefixSum(slim, "_ord", lit(1L), Seq("tier"), 64)
+    val ranked = Packing.prefixSum(slim, "_ord", lit(1L), Seq("tier"), 64,
+        tieCol = Some(col("doc_id")))
       .withColumn("pos", col("cum_before")).drop("cum_before", "_ord")
     val sizes = ranked.groupBy(col("tier")).agg(count(lit(1)).as("_n"))
       .collect().sortBy(_.getInt(0))
