@@ -226,7 +226,10 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM r WHERE ran
 
   // ------------------------------------------- trained quantizer catalog
 
-  /** TRAINED-quantizer catalog rows: what production would actually run.
+  /** TRAINED-quantizer catalog rows — the PRIMARY `ann_ivf` / `ann_pq`
+    * registry names (the data-independent codebook forms above stay
+    * cataloged as `ann_ivf_fixed` / `ann_pq_fixed` anchors): the row a
+    * user copies is the one production would run.
     * The spherical-kmeans IVF centroids / per-subspace PQ codebooks are
     * trained on the corpus (deterministic: lowest-xxhash64 sample, fixed
     * init and tie rules — retraining on the same table reproduces the same
@@ -2222,11 +2225,14 @@ JOIN fmtr f ON f.exp_cluster = cl.exp_cluster AND f.rn = 1"""
     "ann_topk" -> (annTopK _),
     "ann_sq" -> (annSq _),
     "ann_lsh" -> (annLsh _),
-    "ann_ivf" -> (annIvf _),
-    "ann_pq" -> (annPq _),
+    // PRIMARY ann_ivf / ann_pq rows are the TRAINED quantizers (what
+    // production runs); the deterministic data-independent codebooks stay
+    // cataloged as *_fixed anchors
+    "ann_ivf" -> (annIvfTrained _),
+    "ann_pq" -> (annPqTrained _),
     "ann_ivfpq" -> (annIvfPq _),
-    "ann_ivf_trained" -> (annIvfTrained _),
-    "ann_pq_trained" -> (annPqTrained _),
+    "ann_ivf_fixed" -> (annIvf _),
+    "ann_pq_fixed" -> (annPq _),
     "emb_pairs" -> (embPairs _),
     "dd_semantic" -> (ddSemantic _),
     "emb_dbscan" -> (embDbscan _),
@@ -2288,11 +2294,11 @@ JOIN fmtr f ON f.exp_cluster = cl.exp_cluster AND f.rn = 1"""
     "ann_topk" -> annTopKSql,
     "ann_sq" -> annSqSql,
     "ann_lsh" -> annLshSql,
-    "ann_ivf" -> annIvfSql,
-    "ann_pq" -> annPqSql,
+    "ann_ivf" -> annIvfTrainedSql,
+    "ann_pq" -> annPqTrainedSql,
     "ann_ivfpq" -> annIvfPqSql,
-    "ann_ivf_trained" -> annIvfTrainedSql,
-    "ann_pq_trained" -> annPqTrainedSql,
+    "ann_ivf_fixed" -> annIvfSql,
+    "ann_pq_fixed" -> annPqSql,
     "emb_pairs" -> embPairsSql,
     "dd_semantic" -> ddSemanticSql,
     "emb_dbscan" -> embDbscanSql,
