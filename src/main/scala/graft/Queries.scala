@@ -370,6 +370,81 @@ LEFT JOIN ex x ON x.doc_id = n.doc_id
 LEFT JOIN near nr ON nr.doc_id = n.doc_id
 WHERE n.doc_id % $incrMod = 0"""
 
+  /** Full incremental-pipeline catalog row — [[ddIncremental]]'s
+    * batch-vs-corpus shape extended through clustering, the job a 100 TB
+    * corpus runs on every crawl increment: the batch (doc_id % incrMod
+    * == 0) is blocked and verified against the standing corpus (shared
+    * ngram-jaccard stage), and the verified edges feed
+    * [[ConnectedComponents.incrementalAssignDelta]] against the STANDING
+    * assignment (CC over corpus-only pairs) — only touched clusters
+    * re-cluster, previously-emitted cluster ids survive unless merged
+    * (ConsistentClustering semantics), and the standing table itself is
+    * never shuffled (PlanSpec-gated on the primitive). Output: every doc's
+    * cluster id plus its increment status (batch / stable / merged).
+    */
+  def pipelineIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ddNgramJaccard(spark, dir).select(col("id1"), col("id2"))
+    val b1 = (col("id1") % incrMod) === 0
+    val b2 = (col("id2") % incrMod) === 0
+    val pc = pairs.where(!b1 && !b2)
+    val pb = pairs.where(b1 || b2)
+    val docs = table(spark, dir, "documents")
+    val standing = QueryCache.memo(spark, "cc_assign_corpus", dir) {
+      ConnectedComponents.assignAll(
+        docs.where((col("doc_id") % incrMod) =!= 0), "doc_id", pc)
+    }
+    val batchIds = docs.where((col("doc_id") % incrMod) === 0)
+      .select(col("doc_id").as("id"))
+    ConnectedComponents.incrementalAssignDelta(standing, batchIds, pb)
+      .select(col("id").as("doc_id"), col("cluster_id"), col("status"))
+  }
+
+  private val pipelineIncrementalSql =
+    s"""WITH RECURSIVE ${OracleGen.nrmCte},
+${OracleGen.wordNgramCtes(ngramN)},
+${OracleGen.invertedIndexCandsCte},
+${OracleGen.jaccardPairsCte(ngramJaccardT)},
+pc AS (SELECT id1, id2 FROM pairs WHERE id1 % $incrMod <> 0 AND id2 % $incrMod <> 0),
+pb AS (SELECT id1, id2 FROM pairs WHERE id1 % $incrMod = 0 OR id2 % $incrMod = 0),
+ec AS (SELECT id1 AS a, id2 AS b FROM pc UNION ALL SELECT id2, id1 FROM pc),
+reachc(n, r) AS (
+  SELECT doc_id, doc_id FROM documents WHERE doc_id % $incrMod <> 0
+  UNION
+  SELECT reachc.n, e.b FROM reachc JOIN ec e ON e.a = reachc.r),
+ccc AS (SELECT n AS doc_id, min(r) AS cluster_id FROM reachc GROUP BY 1),
+ep AS (SELECT id1 AS id FROM pb UNION SELECT id2 FROM pb),
+aff AS (SELECT DISTINCT c.cluster_id FROM ccc c JOIN ep ON ep.id = c.doc_id),
+am AS (SELECT c.doc_id, c.cluster_id FROM ccc c JOIN aff USING (cluster_id)),
+ed AS (
+  SELECT doc_id AS a, cluster_id AS b FROM am WHERE doc_id <> cluster_id
+  UNION ALL SELECT cluster_id, doc_id FROM am WHERE doc_id <> cluster_id
+  UNION ALL SELECT id1, id2 FROM pb
+  UNION ALL SELECT id2, id1 FROM pb),
+nodes AS (SELECT doc_id FROM documents WHERE doc_id % $incrMod = 0
+          UNION SELECT doc_id FROM am),
+reachd(n, r) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT reachd.n, e.b FROM reachd JOIN ed e ON e.a = reachd.r),
+ccd AS (SELECT n AS doc_id, min(r) AS cid FROM reachd GROUP BY 1),
+remap AS (
+  SELECT d.cid, min(c.cluster_id) AS stable_id
+  FROM ccd d LEFT JOIN ccc c ON c.doc_id = d.doc_id
+  GROUP BY 1),
+delta AS (
+  SELECT d.doc_id, coalesce(r.stable_id, d.cid) AS cluster_id,
+    CASE WHEN c.cluster_id IS NULL THEN 'batch'
+         WHEN coalesce(r.stable_id, d.cid) = c.cluster_id THEN 'stable'
+         ELSE 'merged' END AS status
+  FROM ccd d
+  JOIN remap r ON r.cid = d.cid
+  LEFT JOIN ccc c ON c.doc_id = d.doc_id)
+SELECT doc_id, cluster_id, status FROM delta
+UNION ALL
+SELECT c.doc_id, c.cluster_id, 'stable' AS status
+FROM ccc c LEFT JOIN aff a ON a.cluster_id = c.cluster_id
+WHERE a.cluster_id IS NULL"""
+
   // Bloom membership filter: 2^20 bits (128 KB broadcast) x 5 probes.
   // At the corpus/batch split below (~80%/20% of n docs) the load factor
   // stays << 1 at sf0.1; production sizes m from the corpus cardinality
@@ -944,6 +1019,7 @@ WHERE s.c >= $winnowShareMin
     "dd_minhash_est" -> (ddMinhashEst _),
     "dd_skew_stats" -> (ddSkewStats _),
     "dd_incremental" -> (ddIncremental _),
+    "pipeline_incremental" -> (pipelineIncremental _),
     "dd_bloom" -> (ddBloom _),
     "dd_simhash" -> (ddSimhash _),
     "dd_substring" -> (ddSubstring _),
@@ -966,6 +1042,7 @@ WHERE s.c >= $winnowShareMin
     "dd_minhash_est" -> ddMinhashEstSql,
     "dd_skew_stats" -> ddSkewStatsSql,
     "dd_incremental" -> ddIncrementalSql,
+    "pipeline_incremental" -> pipelineIncrementalSql,
     "dd_bloom" -> ddBloomSql,
     "dd_simhash" -> ddSimhashSql,
     "dd_substring" -> ddSubstringSql,

@@ -177,6 +177,68 @@ object ConnectedComponents {
       newEdges.select(col(s).as("src"), col(d).as("dst")).unionAll(prevEdges))
   }
 
+  /** Daily-increment delta re-clustering — [[incrementalAssign]] restricted
+    * to the TOUCHED neighborhood, the shape a 100 TB corpus runs per batch:
+    * CC never re-walks the standing graph, and the standing assignment
+    * table is NEVER shuffled (gated by PlanSpec) — it streams map-side
+    * through broadcast joins against delta-sized frames.
+    *
+    *  1. affected = standing clusters containing any new-edge endpoint
+    *     (tiny: bounded by the batch's candidate fan-out);
+    *  2. the delta subgraph = affected clusters' member->cluster star
+    *     edges + the new verified edges; CC runs on THAT (delta-sized);
+    *  3. stable-id remap: a delta component takes the MINIMUM standing
+    *     cluster id among its members when one exists (previously-emitted
+    *     ids survive; a merge keeps the smaller of the merged ids — the
+    *     reference's ConsistentClustering guarantee,
+    *     `common/dedupe/clustering/ConsistentClustering.java:60-116`, even
+    *     when a new record's raw id undercuts the old cluster id), else
+    *     its min member id (brand-new cluster);
+    *  4. untouched standing rows pass through unchanged (broadcast
+    *     anti-join — map-side).
+    *
+    * @param prevAssign standing (id, cluster_id) assignment
+    * @param newIds     batch record ids (absent from prevAssign)
+    * @param newEdges   verified duplicate pairs with >= 1 batch endpoint
+    * @return (id, cluster_id, status) over batch ∪ corpus —
+    *         status: 'batch' (new record), 'stable' (standing id kept),
+    *         'merged' (standing cluster absorbed into a smaller id)
+    */
+  def incrementalAssignDelta(prevAssign: DataFrame, newIds: DataFrame,
+                             newEdges: DataFrame): DataFrame = {
+    val Seq(c1, c2) = newEdges.columns.toSeq.take(2)
+    val edges = newEdges.select(col(c1).as("src"), col(c2).as("dst"))
+    val endpoints = edges.select(col("src").as("id"))
+      .unionAll(edges.select(col("dst").as("id"))).distinct()
+    // standing-table discipline: every join against prevAssign broadcasts
+    // the OTHER (delta-sized) side, so the big table only streams
+    val aff = broadcast(
+      prevAssign.join(broadcast(endpoints), Seq("id")).select(col("cluster_id")).distinct())
+    val affMembers = prevAssign.join(aff, Seq("cluster_id"))
+      .select(col("id"), col("cluster_id"))
+    val star = affMembers.where(col("id") =!= col("cluster_id"))
+      .select(col("id").as("src"), col("cluster_id").as("dst"))
+    val nodes = newIds.select(col("id")).unionAll(affMembers.select(col("id")))
+    val sub = assignAll(nodes, "id", star.unionAll(edges))
+      .select(col("id"), col("cluster_id").as("cc_id"))
+    // previous cluster ids of delta members (inner: batch ids drop out) —
+    // broadcast the delta side, stream the standing table
+    val subPrev = broadcast(sub)
+      .join(prevAssign.select(col("id"), col("cluster_id").as("prev_cid")), Seq("id"))
+    val remap = subPrev.groupBy(col("cc_id")).agg(min(col("prev_cid")).as("stable_id"))
+    val delta = sub
+      .join(broadcast(remap), Seq("cc_id"), "left")
+      .join(broadcast(subPrev.select(col("id"), col("prev_cid"))), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("stable_id"), col("cc_id")).as("cluster_id"),
+        when(col("prev_cid").isNull, "batch")
+          .when(coalesce(col("stable_id"), col("cc_id")) === col("prev_cid"), "stable")
+          .otherwise("merged").as("status"))
+    val untouched = prevAssign.join(aff, Seq("cluster_id"), "left_anti")
+      .select(col("id"), col("cluster_id"), lit("stable").as("status"))
+    delta.unionByName(untouched)
+  }
+
   /** Assignment for all records: CC over edges, singletons map to
     * themselves — clusters partition the dataset, matching the reference's
     * contract (`Cluster.java:38-44`, SURVEY.md §7.1.3).

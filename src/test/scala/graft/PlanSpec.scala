@@ -551,6 +551,53 @@ class PlanSpec extends AnyFunSuite {
     assert(!readSchema.contains("bytes"), s"scan must prune bytes: $readSchema")
   }
 
+  test("incrementalAssignDelta: the standing assignment table is never " +
+    "shuffled or broadcast wholesale — it streams map-side through " +
+    "broadcast joins, and the untouched branch reaches the output " +
+    "exchange-free") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // standing table from parquet so its scan is identifiable in the plan
+    val standingDir = Files.createTempDirectory("graft-standing").toString
+    (0L until 1000L).map(i => (i, i - (i % 10)))
+      .toDF("id", "cluster_id").write.mode("overwrite").parquet(standingDir)
+    val standing = spark.read.parquet(standingDir)
+    val newIds = (10000L until 10050L).toDF("id")
+    val newEdges = Seq((10000L, 7L), (10001L, 23L), (10002L, 10003L))
+      .toDF("id1", "id2")
+    val out = graft.cluster.ConnectedComponents
+      .incrementalAssignDelta(standing, newIds, newEdges)
+    val plan = out.queryExecution.executedPlan
+    def isStandingScan(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec =>
+        f.metadata.get("Location").exists(_.contains("graft-standing"))
+      case _ => false
+    }
+    // a standing scan below an Exchange is acceptable ONLY if a broadcast
+    // join sits between them: the broadcast side filters the standing rows
+    // to the delta-sized subset BEFORE anything flows into the exchange
+    def unguardedStandingScan(p: SparkPlan): Boolean = p match {
+      case f if isStandingScan(f) => true
+      case _: BroadcastHashJoinExec => false
+      case other => other.children.exists(unguardedStandingScan)
+    }
+    val offenders = plan.collect {
+      case e: Exchange if e.children.exists(unguardedStandingScan) => e
+    }
+    assert(offenders.isEmpty,
+      s"standing table flows unfiltered into an exchange:\n${offenders.headOption.getOrElse("")}")
+    // the untouched pass-through branch: root -> standing scan crossing no
+    // Exchange at all (the 100 TB property — an unmerged corpus row costs
+    // zero network)
+    def exchangeFreePath(p: SparkPlan): Boolean =
+      isStandingScan(p) ||
+        (!p.isInstanceOf[Exchange] && p.children.exists(exchangeFreePath))
+    assert(exchangeFreePath(plan),
+      s"no exchange-free path from output to the standing scan:\n$plan")
+  }
+
   test("ds_shuffle rides the two-phase prefix sum: bucketed window + " +
     "broadcast offsets, no global sort, no single-partition stage") {
     import spark.implicits._

@@ -103,6 +103,35 @@ class ResumeStreamSpec extends AnyFunSuite {
     assert(Seq(0L, 1L, 2L, 3L).forall(a3(_) == 0L), "merged cluster takes min id")
   }
 
+  test("incrementalAssignDelta: touched-neighborhood re-clustering with true stable-id semantics") {
+    import spark.implicits._
+    // standing: {10,11,12}→10, {20,21}→20, {30}→30, {40,41}→40
+    val standing = Seq((10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L),
+      (21L, 20L), (30L, 30L), (40L, 40L), (41L, 40L)).toDF("id", "cluster_id")
+    // batch: 5 joins cluster 10 (and 5 < 10 — the raw-min id must NOT
+    // steal the emitted id), 6 bridges clusters 20 and 40 (merge → min
+    // standing id 20), 7+8 pair up fresh, 9 is a singleton
+    val newIds = Seq(5L, 6L, 7L, 8L, 9L).toDF("id")
+    val newEdges = Seq((5L, 11L), (6L, 21L), (6L, 41L), (7L, 8L))
+      .toDF("id1", "id2")
+    val got = graft.cluster.ConnectedComponents
+      .incrementalAssignDelta(standing, newIds, newEdges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // emitted id 10 survives even though batch id 5 is smaller
+    assert(got(5L) == ((10L, "batch")), s"got $got")
+    Seq(10L, 11L, 12L).foreach(i => assert(got(i) == ((10L, "stable"))))
+    // merge of standing clusters 20 and 40 keeps the SMALLER standing id
+    assert(got(6L) == ((20L, "batch")))
+    Seq(20L, 21L).foreach(i => assert(got(i) == ((20L, "stable"))))
+    Seq(40L, 41L).foreach(i => assert(got(i) == ((20L, "merged"))))
+    // fresh pair takes its min member id; batch singleton maps to itself
+    assert(got(7L) == ((7L, "batch")) && got(8L) == ((7L, "batch")))
+    assert(got(9L) == ((9L, "batch")))
+    // untouched standing cluster passes through
+    assert(got(30L) == ((30L, "stable")))
+    assert(got.size == 13)
+  }
+
   test("streaming: online first-per-key dedup across micro-batches") {
     import spark.implicits._
     val dir = tmpDir("graft-stream-in")
