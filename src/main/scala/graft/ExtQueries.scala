@@ -26,9 +26,18 @@ object ExtQueries {
     * stage at 1 task). Values are row-local, so repartitioning changes no
     * result.
     */
+  /** Embedding base stage with the DEGENERATE-ROW GUARD: drops vectors
+    * whose self-dot is zero (the all-zero embedding — cosine would divide
+    * by zero), NaN, or infinite (a single non-finite component poisons
+    * every distance downstream). Real ingest pipelines drop these at the
+    * door; the oracles mirror the guard via [[OracleGen.embSrc]], so both
+    * engines search the identical vector set.
+    */
   private def embBase(spark: SparkSession, dir: String): DataFrame =
     QueryCache.memo(spark, "emb_base", dir) {
+      val ss = graft.functions.FloatDotProduct(col("embedding"), col("embedding"))
       table(spark, dir, "embeddings")
+        .where(!isnan(ss) && ss > 0 && ss =!= lit(Double.PositiveInfinity))
         .repartition(spark.sparkContext.defaultParallelism)
     }
 
@@ -49,8 +58,8 @@ object ExtQueries {
   private val annTopKSql =
     s"""WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-  FROM embeddings WHERE vec_id % $annQueryMod = 0),
-v AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv FROM embeddings),
+  FROM ${OracleGen.embSrc} WHERE vec_id % $annQueryMod = 0),
+v AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv FROM ${OracleGen.embSrc}),
 s AS (
   SELECT query_id, neighbor_id,
     list_dot_product(qv, nv) /
@@ -78,7 +87,7 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM r WHERE ran
   }
 
   private val annSqSql =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM ${OracleGen.embSrc}),
 n AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv FROM e),
 el AS (
   SELECT vec_id, unnest(nv) AS x, unnest(generate_series(1, len(nv))) AS ord
@@ -159,7 +168,7 @@ $pqRerankTailSql"""
     Embeddings.thresholdPairs(embBase(spark, dir), embThreshold)
 
   private val embPairsSql =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM ${OracleGen.embSrc})
 SELECT a.vec_id AS id1, b.vec_id AS id2,
   list_dot_product(a.v, b.v) /
     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
@@ -284,7 +293,7 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM r WHERE ran
   private val annIvfTrainedSql = {
     val cos = "list_dot_product(p.qv, n.nv) / " +
       "(sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(n.nv, n.nv)))"
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM ${OracleGen.embSrc}),
 ct AS (SELECT c, cent, halfnorm FROM read_parquet('$annIvfCentsPath/*.parquet')),
 scored AS (
   SELECT e.vec_id, e.v, ct.c, list_dot_product(e.v, ct.cent) - ct.halfnorm AS s
@@ -316,7 +325,7 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM r WHERE ran
     val diff = s"list_transform(generate_series(1, $subDim), i -> " +
       s"n.nv[b.j*$subDim + i] - b.cent[i])"
     val ones = s"list_transform(generate_series(1, $pqM), x -> 1.0)"
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM ${OracleGen.embSrc}),
 cb AS (SELECT j, c, cent FROM read_parquet('$annPqCbPath/*.parquet')),
 nrm AS (
   SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
@@ -420,7 +429,7 @@ SELECT e.vec_id,
        WHEN b.cluster_id IS NOT NULL THEN 'border'
        ELSE 'noise' END AS role,
   CAST(coalesce(d.degree, 0) AS BIGINT) AS degree
-FROM embeddings e
+FROM ${OracleGen.embSrc} e
 LEFT JOIN cc c USING (vec_id)
 LEFT JOIN bm b USING (vec_id)
 LEFT JOIN dg d USING (vec_id)"""
@@ -696,16 +705,25 @@ txt AS (
   SELECT cluster_id, text FROM (
     SELECT cluster_id, text,
       row_number() OVER (PARTITION BY cluster_id ORDER BY length(text) DESC, text) AS rn
-    FROM j) WHERE rn = 1),
+    FROM j WHERE text IS NOT NULL AND text <> '') WHERE rn = 1),
 lng AS (
   SELECT cluster_id, lang FROM (
     SELECT cluster_id, lang,
       row_number() OVER (PARTITION BY cluster_id ORDER BY cnt DESC, lang) AS rn
-    FROM (SELECT cluster_id, lang, count(*) AS cnt FROM j GROUP BY 1, 2)) WHERE rn = 1),
+    FROM (SELECT cluster_id, lang, count(*) AS cnt FROM j
+          WHERE lang IS NOT NULL AND lang <> '' GROUP BY 1, 2)) WHERE rn = 1),
+hd AS (
+  SELECT cluster_id, text AS htext, lang AS hlang FROM (
+    SELECT cluster_id, text, lang,
+      row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id) AS rn
+    FROM j) WHERE rn = 1),
 agg AS (SELECT cluster_id, count(*) AS n_members,
         CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM j GROUP BY 1)
-SELECT a.cluster_id, a.n_members, t.text, l.lang, a.sum_chars
-FROM agg a JOIN txt t USING (cluster_id) JOIN lng l USING (cluster_id)"""
+SELECT a.cluster_id, a.n_members,
+  coalesce(t.text, h.htext) AS text, coalesce(l.lang, h.hlang) AS lang,
+  a.sum_chars
+FROM agg a JOIN hd h USING (cluster_id)
+LEFT JOIN txt t USING (cluster_id) LEFT JOIN lng l USING (cluster_id)"""
 
   // ------------------------------------------- similarity measure surface
 
@@ -893,7 +911,7 @@ SELECT DISTINCT least(id, p) AS id1, greatest(id, p) AS id2 FROM u WHERE p IS NO
     """WITH o AS (
   SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
     lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 f AS (
   SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
   FROM o),
@@ -1692,7 +1710,8 @@ FROM r"""
     val hopUs = hopWinHopSec * 1000000L
     val k = hopWinSizeSec / hopWinHopSec
     s"""WITH e AS (
-  SELECT epoch_us(ts) AS u, event_type, user_id, value FROM events),
+  SELECT epoch_us(ts) AS u, event_type, user_id, value FROM events
+  WHERE ts IS NOT NULL),
 x AS (
   SELECT (u // $hopUs - j) * $hopUs AS win_start_us, event_type, user_id, value
   FROM e CROSS JOIN (SELECT unnest(range($k)) AS j))
@@ -1721,7 +1740,8 @@ FROM w WHERE to_type IS NOT NULL GROUP BY 1, 2"""
   private val evPropsSql =
     """WITH e AS (
   SELECT event_type, user_id, value,
-    json_extract_string(props, '$.k')::BIGINT AS k
+    CASE WHEN json_valid(props)
+         THEN json_extract_string(props, '$.k')::BIGINT END AS k
   FROM events)
 SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
   sum(k)::BIGINT AS sum_k, min(k) AS min_k, max(k) AS max_k,

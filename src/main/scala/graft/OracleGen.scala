@@ -26,17 +26,30 @@ object OracleGen {
     if (s.indexOf('E') >= 0 || s.indexOf('e') >= 0) s else s + "e0"
   }
 
+  /** Embeddings source with the degenerate-row guard (mirror of
+    * ExtQueries.embBase): zero-norm, NaN and infinite vectors are dropped
+    * before any distance math — substitute for a bare `embeddings` in
+    * every embedding-reading oracle.
+    */
+  def embSrc: String =
+    "(SELECT * FROM embeddings " +
+      "WHERE isfinite(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) " +
+      "AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)"
+
   /** CTE: (doc_id, norm) — normalized document text. */
   def nrmCte: String =
     s"nrm AS (SELECT doc_id, ${Signatures.normalizeSql("text")} AS norm FROM documents)"
 
   /** CTE: (doc_id, sh) — distinct char k-shingles; strings shorter than k
-    * contribute the whole string (mirror of Signatures.shingles).
+    * contribute the whole string (mirror of Signatures.shingles). NULL
+    * text is exempt (no content): an unguarded NULL norm would thread a
+    * NULL shingle through minhash into NULL band keys, which GROUP BYs
+    * downstream would count as a phantom bucket.
     */
   def charShingleCtes(k: Int): String =
     s"""idx AS (
   SELECT doc_id, norm, unnest(generate_series(1, greatest(length(norm) - ${k - 1}, 1))) AS i
-  FROM nrm),
+  FROM nrm WHERE norm IS NOT NULL),
 sh AS (
   SELECT DISTINCT doc_id,
     CASE WHEN length(norm) >= $k THEN substr(norm, i, $k) ELSE norm END AS sh
@@ -126,7 +139,8 @@ cands AS (
 
   /** SimHash CTE mirroring Signatures.simHash over word tokens (with
     * multiplicity): yields sim(doc_id, sh BIGINT). Docs with no tokens get
-    * simhash 0.
+    * simhash 0; NULL-text docs are exempt entirely (no content — matching
+    * the engine's null-dropping signature column).
     */
   def simHashCtes(bits: Int): String =
     s"""toksm AS (
@@ -143,7 +157,8 @@ simnz AS (
   FROM bitsum GROUP BY 1),
 sim AS (
   SELECT n.doc_id, coalesce(z.sh, 0::BIGINT) AS sh
-  FROM nrm n LEFT JOIN simnz z ON z.doc_id = n.doc_id)"""
+  FROM nrm n LEFT JOIN simnz z ON z.doc_id = n.doc_id
+  WHERE n.norm IS NOT NULL)"""
 
   /** Bit-block pairing over CTE sim(doc_id, sh): blocks of `per` bits. */
   def bitBlockCandsCte(blocks: Int, totalBits: Int): String = {
@@ -172,7 +187,7 @@ cands AS (
         if ((Signatures.hash60(s"srp:$seed:$b:$d") & 1L) == 1L) "1.0" else "-1.0").mkString(", ")
       s"(CASE WHEN list_dot_product(v, [$plane]) > 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString("\n    + ")
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM ${OracleGen.embSrc}),
 srp AS (SELECT vec_id, v, $bitTerms AS sig FROM e),
 bkeys AS (
   SELECT vec_id, g.i || ':' || ((sig >> (g.i * $per)) & $mask) AS key
@@ -202,7 +217,7 @@ cands AS (
     }.mkString(",\n    ")
     val cos = "list_dot_product(x.v, y.v) / " +
       "(sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))"
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM ${OracleGen.embSrc}),
 sp AS (SELECT vec_id, [$projList] AS ps FROM e),
 pr AS (
   SELECT vec_id, unnest(ps) AS s, unnest(generate_series(0, ${bits - 1})) AS b
@@ -249,7 +264,7 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM r WHERE ran
       val lits = cents(c).map(dlit).mkString(", ")
       s"list_dot_product(v, [$lits]) - ${dlit(halfNorms(c))}"
     }.mkString(",\n    ")
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM ${OracleGen.embSrc}),
 sc AS (SELECT vec_id, v, [$scoreList] AS ss FROM e),
 rc AS (
   SELECT vec_id, v, c,
@@ -326,7 +341,7 @@ codes AS (
       list_transform(generate_series(0, ${m - 1}), j -> 1.0))"""
 
   def pqCtes(cb: Array[Array[Array[Double]]], queryMod: Int, shortlist: Int): String =
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM ${OracleGen.embSrc}),
 ${pqCodesCtes(cb)},
 q AS (SELECT vec_id AS query_id, nv AS qnv FROM nrm WHERE vec_id % $queryMod = 0),
 ${pqLutCte(cb)},

@@ -471,7 +471,10 @@ WHERE a.cluster_id IS NULL"""
     */
   def ddBloom(spark: SparkSession, dir: String): DataFrame = {
     val mh = md5(col("norm").cast("binary"))
-    val hashed = docNorm(spark, dir).select(
+    // null-text docs carry no content fingerprint: exempt from membership
+    // (mirrored in the oracle's hs CTE) — a NULL hash would poison the
+    // sketch fold
+    val hashed = docNorm(spark, dir).where(col("norm").isNotNull).select(
       col("doc_id"),
       conv(substring(mh, 1, 15), 16, 10).cast("long").as("h1"),
       conv(substring(mh, 17, 15), 16, 10).cast("long").as("h2"),
@@ -500,7 +503,7 @@ hs AS (
     ('0x' || substr(md5(norm), 1, 15))::BIGINT AS h1,
     ('0x' || substr(md5(norm), 17, 15))::BIGINT AS h2,
     md5(norm) AS h
-  FROM nrm),
+  FROM nrm WHERE norm IS NOT NULL),
 cpos AS (
   SELECT DISTINCT (h1 + t.i * h2) % $bloomM AS pos
   FROM hs, range($bloomK) t(i) WHERE doc_id % $incrMod <> 0),

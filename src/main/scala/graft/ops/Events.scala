@@ -25,7 +25,10 @@ object Events {
     // the identity instant and unix_micros matches DuckDB's epoch_us exactly
     val us = unix_micros(col("ts").cast("timestamp"))
     val prevUs = lag(us, 1).over(byUser)
-    events
+    // an event without a timestamp cannot be placed in time: exempt (the
+    // engine's window ordering and the oracle's NULLS-LAST lag would
+    // otherwise each invent a different session for it)
+    events.where(col("ts").isNotNull)
       .withColumn("_is_new",
         when(prevUs.isNull || us - prevUs > gapSec * 1000000L, 1L).otherwise(0L))
       .withColumn("session_idx", sum(col("_is_new")).over(running))

@@ -76,14 +76,25 @@ object Packing {
     val offDf = broadcast(
       spark.createDataFrame(spark.sparkContext.parallelize(totals, 1), offSchema))
 
-    // phase 3: within-bucket running sum, strictly-prior rows only
+    // phase 3: within-bucket running sum, strictly-prior rows only.
+    // NULL-SAFE offsets join: a NULL stratum value (docs with unknown
+    // lang/source) is a legitimate stratum — the window and the driver
+    // scan both group NULLs together, so the join back must too (a plain
+    // equi-join silently dropped every NULL-stratum row)
+    val joinCols = partCols :+ "_bucket"
+    val offRenamed = joinCols.zipWithIndex.foldLeft(offDf) {
+      case (d, (c, i)) => d.withColumnRenamed(c, s"_jc$i")
+    }
+    val cond = joinCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"_jc$i") }.reduce(_ && _)
     val win = Window.partitionBy(keyCols: _*)
       .orderBy(idL +: tieCol.toSeq: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    bucketed.join(offDf, partCols :+ "_bucket")
+    bucketed.join(offRenamed, cond)
       .withColumn("cum_before",
         col("_off") + coalesce(sum(col("_v")).over(win), lit(0L)))
       .drop("_v", "_bucket", "_off")
+      .drop(joinCols.indices.map(i => s"_jc$i"): _*)
   }
 
   /** @param docs     input with an orderable NUMERIC id column

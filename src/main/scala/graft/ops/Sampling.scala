@@ -118,6 +118,10 @@ object Sampling {
     val nTok = size(org.apache.spark.sql.functions.split(
       trim(col(textCol)), "\\s+")).cast("long")
     val slim = docs.select(col("doc_id"), nTok.as("n_tokens"))
+      // null-text docs have no token count and no tier: exempt from the
+      // curriculum (the oracle's tier-offset equi-join drops the NULL
+      // tier the same way)
+      .where(col("n_tokens").isNotNull)
       .withColumn("tier", (col("n_tokens") / tierW).cast("int"))
       .withColumn("_ord",
         Signatures.hash60Col(concat(lit("cur:"), col("doc_id").cast("string"))))

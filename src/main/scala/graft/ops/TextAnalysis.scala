@@ -461,6 +461,9 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame, textCol: String, k: Int = 8): DataFrame = {
     val norm = Signatures.normalizeCol(col(textCol))
     docs.select(col("doc_id"), norm.as("_n"))
+      // null text has no content to fingerprint (empty text does: hash60
+      // of "" is a legitimate exact-dup key for empty-content rows)
+      .where(col("_n").isNotNull)
       .withColumn("fp_exact", Signatures.hash60Col(col("_n")))
       .withColumn("fp_minshingle",
         array_min(transform(Signatures.shinglesCol(col("_n"), k),

@@ -145,13 +145,18 @@ object Signatures {
     else Seq(ws.mkString(" "))
   }
 
-  /** Column form of [[wordNgrams]] over a normalized-string column. */
+  /** Column form of [[wordNgrams]] over a normalized-string column.
+    * NULL-safe: a NULL document yields NO grams (like an empty one) — the
+    * un-guarded otherwise() branch used to turn NULL into `array("")` via
+    * concat_ws's null-swallowing, fabricating one phantom empty gram.
+    */
   def wordNgramsCol(c: Column, n: Int): Column = {
     val ws = wordsCol(c)
-    when(size(ws) >= n,
-      array_distinct(transform(
-        sequence(lit(1), size(ws) - (n - 1)),
-        i => concat_ws(" ", slice(ws, i, lit(n))))))
+    when(c.isNull, array().cast("array<string>"))
+      .when(size(ws) >= n,
+        array_distinct(transform(
+          sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws(" ", slice(ws, i, lit(n))))))
       .when(size(ws) === 0, array().cast("array<string>"))
       .otherwise(array(concat_ws(" ", ws)))
   }
