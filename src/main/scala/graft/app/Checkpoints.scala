@@ -28,16 +28,32 @@ final class Checkpoints(spark: SparkSession, workDir: String) {
     Files.exists(Paths.get(path(name), "_SUCCESS")) &&
       Files.exists(Paths.get(metricsPath(name)))
 
+  /** Read a completed stage's table directly — the RESUME entry point.
+    * For a stage written with `partitionBy`, a filter on the partition
+    * column prunes at the scan: a 100 TB resume that needs one bucket
+    * reads one directory, not the whole checkpoint (PlanSpec-gated).
+    */
+  def load(name: String): DataFrame = spark.read.parquet(path(name))
+
   /** Compute-or-load a stage. On compute: write parquet, then ONE read-back
     * job derives the row total and per-file lineage (the files ARE the
     * stage's produced output units — unlike spark_partition_id over a
     * re-read, which reflects reader split packing).
+    *
+    * @param partitionBy optional hive-style partition columns for the
+    *        stage table — the TB-scale storage posture: resume reads
+    *        filtered on these columns scan only matching partitions
+    *        instead of the whole table. Lineage metrics count per FILE,
+    *        so partition dirs stay fully accounted.
     */
-  def stage(name: String)(compute: => DataFrame): DataFrame = {
+  def stage(name: String, partitionBy: Seq[String] = Nil)
+           (compute: => DataFrame): DataFrame = {
     if (!isComplete(name)) {
       val t0 = System.nanoTime()
       val df = compute
-      df.write.mode("overwrite").parquet(path(name))
+      val w = df.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(path(name))
       val wallSec = (System.nanoTime() - t0) / 1e9
       val perFile = spark.read.parquet(path(name))
         .groupBy(input_file_name().as("file"))
@@ -111,15 +127,24 @@ object Checkpoints {
       Pipeline.classified(feats, cands, cfg).toDF()
     }
     val scored = scoredDf.as[Pipeline.ScoredEdge]
-    val assign0 = cp.stage("04_assign_tc")(Pipeline.cluster(feats, scored))
+    // assignment tables carry a 16-way id-hash partition column: the
+    // tables a daily increment resumes AGAINST get the partition-pruned
+    // read path (Checkpoints.load + a pb filter scans one directory).
+    // pb is dropped from the in-pipeline frames — downstream stages see
+    // the unchanged (id, cluster_id) shape.
+    def withPb(df: DataFrame): DataFrame =
+      df.withColumn("pb", pmod(xxhash64(col("id")), lit(16)).cast("int"))
+    val assign0 = cp.stage("04_assign_tc", partitionBy = Seq("pb"))(
+      withPb(Pipeline.cluster(feats, scored))).drop("pb")
     // ClusterSplitHandler contract (ref core/.../ClusterSplitHandler.java:
     // 37-69; SURVEY.md §2.5): splits are observable in metrics. The counter
     // only accumulates when the stage actually computes, so the sidecar is
     // written exactly then (a resumed run keeps the original sidecar).
     val refineComputed = !cp.isComplete("05_assign_refined")
     val splits = spark.sparkContext.longAccumulator("n_split_clusters")
-    val assign = cp.stage("05_assign_refined")(
-      Pipeline.refine(assign0, feats, scored, cfg, splitCounter = Some(splits)))
+    val assign = cp.stage("05_assign_refined", partitionBy = Seq("pb"))(
+      withPb(Pipeline.refine(assign0, feats, scored, cfg, splitCounter = Some(splits))))
+      .drop("pb")
     if (refineComputed)
       cp.writeMetrics("05_assign_refined_splits",
         s"""{"stage":"05_assign_refined","n_split_clusters":${splits.value}}""")

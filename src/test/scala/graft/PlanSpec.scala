@@ -551,6 +551,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!readSchema.contains("bytes"), s"scan must prune bytes: $readSchema")
   }
 
+  test("partitioned checkpoint: a filtered resume prunes to matching partitions at the scan") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-cp-part").toString
+    val cp = new graft.app.Checkpoints(spark, work)
+    val df = (0L until 200L).toDF("id")
+      .withColumn("cluster_id", col("id") % 50)
+      .withColumn("pb", pmod(xxhash64(col("id")), lit(16)).cast("int"))
+    cp.stage("t_assign", partitionBy = Seq("pb"))(df)
+    val resume = cp.load("t_assign").where(col("pb") === 3)
+    val plan = formatted(resume)
+    // the pb predicate must land in PartitionFilters (directory pruning),
+    // not PushedFilters/post-scan Filter (row skipping after listing)
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("pb") && pf.contains("3"),
+      s"pb=3 must prune partitions at the scan:\n$plan")
+    // physical evidence: the pruned scan holds exactly ONE selected
+    // partition directory vs 16 unfiltered
+    def partDirs(d: org.apache.spark.sql.DataFrame): Long = {
+      val scan = d.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      scan.relation.location.listFiles(
+        scan.partitionFilters, scan.dataFilters).size.toLong
+    }
+    assert(partDirs(resume) == 1L,
+      s"filtered resume must scan 1 partition, scanned ${partDirs(resume)}")
+    assert(partDirs(cp.load("t_assign")) > 1L)
+  }
+
   test("incrementalAssignDelta: the standing assignment table is never " +
     "shuffled or broadcast wholesale — it streams map-side through " +
     "broadcast joins, and the untouched branch reaches the output " +
