@@ -144,8 +144,8 @@ object Multimodal {
     * [[audioDupes]]: bucket-capped signature join, shared-count rollup,
     * Jaccard threshold. Emits (<id>1, <id>2, n_common, n1, n2, jaccard).
     */
-  private def sigJaccardPairs(sigs: DataFrame, idCol: String,
-                              threshold: Double, cap: Int): DataFrame = {
+  private[graft] def sigJaccardPairs(sigs: DataFrame, idCol: String,
+                                     threshold: Double, cap: Int): DataFrame = {
     val id1 = s"${idCol}1"; val id2 = s"${idCol}2"
     val cnt = sigs.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val keyOk = sigs.groupBy(col("sig")).agg(count(lit(1)).as("bn"))
