@@ -251,6 +251,11 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM r WHERE ran
     * trained parameters is exact. Tables are rewritten on every (re)train,
     * never reused across corpora.
     */
+  // Fixed paths because the oracle SQL strings are static: LAST-WRITER-WINS
+  // across corpora — a Verify run retrains and rewrites them for ITS input
+  // dir at query time, so oracle-vs-dump comparison is consistent within a
+  // run (the driver's shape), but a dump from an OLDER run on a different
+  // corpus will no longer match oracles executed after a newer run.
   val annIvfCentsPath = "/tmp/graft_ann_ivf_cents_v1"
   val annPqCbPath = "/tmp/graft_ann_pq_cb_v1"
 

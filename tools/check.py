@@ -67,7 +67,14 @@ for name in sorted(os.listdir(outdir)):
     d = os.path.join(outdir, name)
     if not os.path.isdir(d) or (only and name not in only):
         continue
-    got = canon(con.sql(f"SELECT * FROM '{d}/*.parquet'").df())
+    # an empty result dir (query died mid-write, zero part files) must
+    # report as a failure for THIS query, not crash the whole gate
+    try:
+        got = canon(con.sql(f"SELECT * FROM '{d}/*.parquet'").df())
+    except Exception as e:
+        print(f"{name:28s} RESULT READ ERROR: {str(e)[:160]}")
+        fails += 1
+        continue
     if name not in oracles:
         print(f"{name:28s} rows={len(got)} (no oracle; rows-only)")
         continue
